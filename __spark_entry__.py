@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-dup pipeline on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data-pipeline suites); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins. Omitted for genuinely
+non-SQL-expressible ops (MinHash/SimHash signatures, LSH ANN) — those are
+recall-gated against their exact twins in tests/ instead.
+
+Column names are aligned pairwise (driver hashes values after sorting
+columns by name). Float outputs are rounded identically on both sides;
+integer-ratio doubles (Jaccard) are bit-exact by IEEE semantics.
 """
 
 from __future__ import annotations
@@ -12,27 +17,521 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from facematch_spark.config import DedupeConfig
+
+# documents-table dedup config: char 9-grams over raw text, threshold 0.5
+# (25 planted near-dup pairs at sf0.01).
+K = 9
+JT = 0.5
+DOC_CFG = DedupeConfig(jaccard_threshold=JT, normalize=True)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup dataflow (sign → LSH → verify → cluster) over the
+    sf0.001 documents corpus; returns verified near-dup pairs with their
+    cluster ids."""
+    from facematch_spark.operators.cluster import connected_components
+    from facematch_spark.operators.dedup import ngram_jaccard_pairs
 
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs(docs, K, JT).localCheckpoint()
+    clusters = connected_components(pairs.select("id_a", "id_b"))
+    lab = clusters.withColumnRenamed("file_id", "id_a").withColumnRenamed("cluster_id", "cluster")
+    return pairs.join(lab, "id_a").select("id_a", "id_b", "jaccard", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- generic relational operators (SURVEY.md §2.1-2.8) ----
+
+    def q1_pricing_summary(spark, sf):
+        # TPC-H Q1 shape: scan → filter → groupBy 2 cols → multi-agg → sort.
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 2).alias("revenue"),
+                F.count("*").cast("long").alias("count_order"),
+                F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            )
+        )
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_orders(spark, sf):
+        # 3-way join (broadcast dims) → agg → top-10 (TakeOrderedAndProject).
+        cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+    q["q3_top_orders"] = q3_top_orders
+
+    def q_topk_per_group(spark, sf):
+        # window top-k per group (W1/W2 analog: ranking, utils.py:270-298).
+        from pyspark.sql import Window as W
+
+        cust = _t(spark, sf, "customer")
+        w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        return (
+            cust.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), F.col("rank").cast("int").alias("rank"))
+        )
+    q["q_topk_per_group"] = q_topk_per_group
+
+    def q_anti_join(spark, sf):
+        # left-anti (J2/U2 analog: incremental resume skip, utils.py:178-186).
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment")
+        )
+    q["q_anti_join"] = q_anti_join
+
+    def q_semi_join(spark, sf):
+        # left-semi (EXISTS) + agg.
+        part = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem")
+        return (
+            part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count("*").cast("long").alias("n_parts"))
+        )
+    q["q_semi_join"] = q_semi_join
+
+    def q_union_distinct(spark, sf):
+        # set ops (U1/U3 analog).
+        c = _t(spark, sf, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+        s = _t(spark, sf, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+        return c.union(s).distinct()
+    q["q_union_distinct"] = q_union_distinct
+
+    def q_window_running(spark, sf):
+        # running aggregate window (O1 analog: ordered accumulation).
+        from pyspark.sql import Window as W
+
+        orders = _t(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(F.round("o_totalprice", 4)).over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("running_total"),
+            F.row_number().over(w).cast("int").alias("order_seq"),
+        )
+    q["q_window_running"] = q_window_running
+
+    def q_agg_stats(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+        )
+    q["q_agg_stats"] = q_agg_stats
+
+    def q_rollup_counts(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                "n",
+            )
+        )
+    q["q_rollup_counts"] = q_rollup_counts
+
+    def q_events_hourly(spark, sf):
+        # event-time tumbling window, batch form (streaming twin below).
+        from facematch_spark.streaming.incremental import windowed_event_counts
+
+        ev = _t(spark, sf, "events")
+        out = windowed_event_counts(ev)
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    q["q_events_hourly"] = q_events_hourly
+
+    def streaming_event_counts(spark, sf):
+        # the SAME aggregation executed by the Structured Streaming engine
+        # (availableNow trigger → memory sink), proving the streaming path.
+        from facematch_spark.streaming.incremental import run_streaming_event_counts
+
+        out = run_streaming_event_counts(spark, f"{sf}/events.parquet")
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    q["streaming_event_counts"] = streaming_event_counts
+
+    # ---- dedup suite over documents (the engine's core, §2.2-2.4/2.10) ----
+
+    def dedup_exact_groups(spark, sf):
+        from facematch_spark.operators.dedup import exact_duplicates
+
+        return exact_duplicates(_t(spark, sf, "documents"))
+    q["dedup_exact_groups"] = dedup_exact_groups
+
+    def dedup_ngram_jaccard(spark, sf):
+        # exact char-9-gram Jaccard pairs ≥ 0.5 via distributed shingle
+        # equi-join — the recall oracle for the LSH path.
+        from facematch_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_t(spark, sf, "documents"), K, JT)
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_clusters(spark, sf):
+        # distributed union-find over the exact-Jaccard edge relation.
+        from facematch_spark.operators.dedup import dedup_clusters as dc
+
+        return dc(_t(spark, sf, "documents"), K, JT)
+    q["dedup_clusters"] = dedup_clusters
+
+    def dedup_containment(spark, sf):
+        # substring containment dups (suffix path) via prefix-gram join.
+        from facematch_spark.operators.dedup import containment_pairs
+
+        return containment_pairs(_t(spark, sf, "documents"), k=16)
+    q["dedup_containment"] = dedup_containment
+
+    def dedup_minhash_lsh(spark, sf):
+        # scale path: MinHash → banding LSH → estimate filter. No SQL oracle
+        # (hash kernels aren't SQL-expressible); recall vs dedup_ngram_jaccard
+        # is pytest-gated ≥ 0.99 (tests/test_operators.py).
+        from facematch_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_t(spark, sf, "documents"), DOC_CFG)
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf):
+        # SimHash Hamming-ball pairs via 16-bit chunk pigeonhole join.
+        from facematch_spark.operators.dedup import simhash_pairs
+
+        return simhash_pairs(_t(spark, sf, "documents"), DedupeConfig(simhash_hamming_max=8))
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- text analysis suite ----
+
+    def text_token_count(spark, sf):
+        from facematch_spark.operators.text import token_count
+
+        return token_count(_t(spark, sf, "documents"))
+    q["text_token_count"] = text_token_count
+
+    def text_quality(spark, sf):
+        from facematch_spark.operators.text import quality_score
+
+        return quality_score(_t(spark, sf, "documents"))
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf):
+        from facematch_spark.operators.text import lang_id
+
+        return lang_id(_t(spark, sf, "documents"))
+    q["text_langid"] = text_langid
+
+    def text_fingerprint(spark, sf):
+        from facematch_spark.operators.text import fingerprint
+
+        return fingerprint(_t(spark, sf, "documents"))
+    q["text_fingerprint"] = text_fingerprint
+
+    # ---- similarity search over embeddings ----
+
+    def ann_cosine_topk(spark, sf):
+        from facematch_spark.operators.similarity import cosine_topk_bruteforce
+
+        emb = _t(spark, sf, "embeddings")
+        return cosine_topk_bruteforce(emb, emb, k=3)
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_lsh_topk(spark, sf):
+        # LSH-bucketed ANN (random hyperplanes) — scale path, no SQL oracle;
+        # recall vs brute force pytest-gated.
+        from facematch_spark.operators.similarity import ann_topk_lsh
+
+        return ann_topk_lsh(_t(spark, sf, "embeddings"), k=3, n_bits=6, n_tables=6)
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    # ---- multimodal plumbing ----
+
+    def multimodal_meta(spark, sf):
+        from facematch_spark.operators.multimodal import extract_metadata, make_media_df
+
+        media = make_media_df(spark, _t(spark, sf, "documents"))
+        return extract_metadata(media)
+    q["multimodal_meta"] = multimodal_meta
+
+    def multimodal_frames(spark, sf):
+        from facematch_spark.operators.multimodal import make_media_df, sample_frames
+
+        media = make_media_df(spark, _t(spark, sf, "documents"), kind="video")
+        frames = sample_frames(media)
+        return frames.groupBy("media_id").agg(F.count("*").cast("long").alias("n_frames"))
+    q["multimodal_frames"] = multimodal_frames
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {K}) AS shingle
+  FROM documents, UNNEST(range(1, length(text) - {K - 2})) AS t(i)
+),
+card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+  FROM jpairs
+  JOIN card ca ON ca.doc_id = id_a
+  JOIN card cb ON cb.doc_id = id_b
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(round(l_extendedprice * (1 - l_discount), 4)), 2) AS revenue,
+               count(*) AS count_order,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q3_top_orders"] = """
+        SELECT o_orderkey,
+               round(sum(round(l_extendedprice * (1 - l_discount), 4)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+    o["q_topk_per_group"] = """
+        SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+            FROM customer
+        )
+        WHERE rank <= 3
+    """
+
+    o["q_anti_join"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    o["q_semi_join"] = """
+        SELECT p_brand, count(*) AS n_parts FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        GROUP BY p_brand
+    """
+
+    o["q_union_distinct"] = """
+        SELECT DISTINCT nationkey FROM (
+            SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+            UNION ALL
+            SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        )
+    """
+
+    o["q_window_running"] = """
+        SELECT o_custkey, o_orderkey,
+               round(sum(round(o_totalprice, 4)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+        FROM orders
+    """
+
+    o["q_agg_stats"] = """
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+               round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+               round(avg(value), 4) AS avg_v
+        FROM events GROUP BY event_type
+    """
+
+    o["q_rollup_counts"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    _hourly = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    o["q_events_hourly"] = _hourly
+    o["streaming_event_counts"] = _hourly
+
+    o["dedup_exact_groups"] = """
+        SELECT md5(text) AS fp, count(*) AS group_size, min(doc_id) AS rep_id
+        FROM documents GROUP BY md5(text)
+    """
+
+    o["dedup_ngram_jaccard"] = f"""
+        WITH {_SHINGLES_CTE}
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JT}
+    """
+
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JT}),
+        sym AS (SELECT id_a AS s, id_b AS d FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.d, cc.label FROM cc JOIN sym ON sym.s = cc.node
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    """
+
+    o["dedup_containment"] = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a, documents b
+        WHERE a.doc_id != b.doc_id
+          AND length(a.text) >= 16
+          AND length(a.text) < length(b.text)
+          AND position(a.text IN b.text) > 0
+    """
+
+    o["text_token_count"] = r"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+               length(text) AS n_chars_exact
+        FROM documents
+    """
+
+    _stop = "['the','a','and','of','to','in','is','with','for','on']"
+    o["text_quality"] = rf"""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+            FROM documents
+        )
+        SELECT doc_id,
+               round(length(text) / greatest(len(tk), 1), 4) AS mean_word_len,
+               round(len(list_filter(tk, x -> list_contains({_stop}, lower(x)))) / greatest(len(tk), 1), 4) AS stopword_ratio,
+               round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / greatest(length(text), 1), 4) AS punct_ratio,
+               round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1), 4) AS upper_ratio
+        FROM toks
+    """
+
+    o["text_langid"] = rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+            FROM documents
+        )
+        SELECT doc_id,
+               round(len(list_filter(tk, x -> list_contains({_stop}, lower(x)))) / greatest(len(tk), 1), 4) AS en_score,
+               CASE WHEN len(list_filter(tk, x -> list_contains({_stop}, lower(x)))) / greatest(len(tk), 1) >= 0.08
+                    THEN 'en' ELSE 'unknown' END AS pred_lang
+        FROM toks
+    """
+
+    o["text_fingerprint"] = r"""
+        SELECT doc_id,
+               md5(text) AS fp_exact,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_normalized
+        FROM documents
+    """
+
+    o["ann_cosine_topk"] = """
+        WITH scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(
+                     (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+                     / (
+                       sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                             FROM (SELECT unnest(a.embedding) AS x)))
+                       *
+                       sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                             FROM (SELECT unnest(b.embedding) AS y)))
+                     ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+    o["multimodal_meta"] = """
+        SELECT doc_id AS media_id, 'image' AS kind,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS sha256,
+               CAST(NULL AS VARCHAR) AS magic,
+               CASE WHEN octet_length(encode(text)) > 0 THEN 'ok' ELSE 'empty' END AS status
+        FROM documents
+    """
+
+    o["multimodal_frames"] = """
+        SELECT doc_id AS media_id,
+               least(8, greatest(1, octet_length(encode(text)) // 1024)) AS n_frames
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    """
+
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: intentionally no SQL
+    # oracle (hash-kernel semantics); rows-only check + pytest recall gates.
+    return o

@@ -1,0 +1,74 @@
+"""CLI entry point mirroring the reference's flags (``__main__.py:156-202``):
+
+    python -m facematch_spark.cli INPUT --out DIR [--reset] [--report]
+        [--threshold 0.8] [--report-threshold 0.8] [--edges 10]
+        [--k 9] [--num-perm 128] [--bands 32] [--rows-per-band 4]
+        [--queue]  (accepted for parity; Spark IS the queue)
+
+Submit to a cluster with:
+    spark-submit --py-files facematch_spark.zip jobs/run_dedupe.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from facematch_spark.config import DedupeConfig
+from facematch_spark.plans.pipeline import report_pairs, run_dedupe
+from facematch_spark.report import run_summary, top_bottom_edges, write_csv_report
+from facematch_spark.session import get_spark
+from facematch_spark.sources.checkpoint import StageStore
+from facematch_spark.sources.io import read_source_files
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="facematch-spark", description=__doc__)
+    p.add_argument("input", help="Iceberg table name or parquet path of source_files")
+    p.add_argument("--out", required=True, help="checkpoint/output root directory")
+    p.add_argument("--reset", action="store_true", help="drop existing stage tables (utils.py:77-81 analog)")
+    p.add_argument("--report", action="store_true", help="write CSV report + print top/bottom edges")
+    p.add_argument("--threshold", type=float, default=0.8, help="dedupe jaccard threshold")
+    p.add_argument("--report-threshold", type=float, default=0.8)
+    p.add_argument("--edges", type=int, default=10)
+    p.add_argument("--k", type=int, default=9)
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None)
+    p.add_argument("--queue", action="store_true", help="accepted for reference parity (no-op: Spark schedules)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = DedupeConfig(
+        k=args.k,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        jaccard_threshold=args.threshold,
+        report_threshold=args.report_threshold,
+        edges=args.edges,
+        seed=args.seed,
+    )
+    spark = get_spark(master=args.master)
+    source = read_source_files(spark, args.input)
+    store = StageStore(args.out, cfg)
+    res = run_dedupe(spark, source, cfg, store=store, reset=args.reset)
+    summary = run_summary(res.counts, res.times, cfg)
+    print(json.dumps(summary))
+    if args.report:
+        write_csv_report(res.pairs, f"{args.out}/report_csv_{cfg.table_suffix()}", args.report_threshold)
+        top, bottom = top_bottom_edges(res.pairs, args.edges)
+        for r in top:
+            print(f"TOP {r.id_a} {r.id_b} {r.jaccard:.4f} {r.method}")
+        for r in bottom:
+            print(f"BOTTOM {r.id_a} {r.id_b} {r.jaccard:.4f} {r.method}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,138 @@
+"""Vectorized (NumPy) hashing kernels used inside Arrow-batched pandas UDFs.
+
+This module is the replacement for the reference's black-box feature
+extractor ``DeepFace.represent`` (``utils.py:187-197``): instead of a face
+embedding we compute, per document,
+
+  * a set of k-gram shingle hashes (char or token), via a vectorized
+    polynomial rolling hash + splitmix64 finalizer;
+  * a MinHash signature of ``num_perm`` values, via the xor-permutation
+    family ``h_i(x) = mix64(x ^ g_i)`` (standard practical MinHash — see
+    Broder '97 resemblance estimation; the xor+finalizer family is the
+    common production variant because it needs no 128-bit modular math);
+  * a 64-bit SimHash fingerprint (Charikar '02): sign of the per-bit
+    sum of ±1 votes over shingle hashes.
+
+Everything operates on NumPy uint64 arrays with wraparound semantics — no
+per-row Python hot path (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+# polynomial base for the rolling k-gram hash (odd, large → good diffusion
+# after the splitmix finalizer)
+_POLY_BASE = _U64(1099511628211)  # FNV-64 prime
+
+# splitmix64 constants (public domain PRNG finalizer, Steele et al. JDK 8)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 arrays."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> _U64(30))) * _SM_M1
+        x = (x ^ (x >> _U64(27))) * _SM_M2
+        return x ^ (x >> _U64(31))
+
+
+def perm_gammas(num_perm: int, seed: int) -> np.ndarray:
+    """Deterministic per-permutation xor keys for the MinHash family."""
+    idx = np.arange(1, num_perm + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return mix64(idx * _SM_GAMMA + _U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def char_shingle_hashes(data: bytes, k: int) -> np.ndarray:
+    """Distinct hashes of all char (byte) k-grams of ``data``.
+
+    Vectorized: the k-gram polynomial hash is the sum of k shifted,
+    base-power-scaled copies of the byte array (k vector ops total),
+    finalized with splitmix64. Returns unique uint64 values (a set — shingle
+    multiplicity is irrelevant to Jaccard resemblance).
+    """
+    n = len(data) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=np.uint64)
+        p = _U64(1)
+        for j in range(k - 1, -1, -1):
+            acc += b[j : j + n] * p
+            p = p * _POLY_BASE
+    return np.unique(mix64(acc))
+
+
+def token_shingle_hashes(tokens: list[bytes], k: int) -> np.ndarray:
+    """Distinct hashes of token k-grams: hash each token, then roll a
+    polynomial hash over the token-hash sequence."""
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.uint64)
+    th = np.array(
+        [int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "little") for t in tokens],
+        dtype=np.uint64,
+    )
+    n = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=np.uint64)
+        p = _U64(1)
+        for j in range(k - 1, -1, -1):
+            acc += th[j : j + n] * p
+            p = p * _POLY_BASE
+    return np.unique(mix64(acc))
+
+
+def minhash_signature(shingles: np.ndarray, gammas: np.ndarray) -> np.ndarray:
+    """MinHash signature: for each permutation i, min over shingles of
+    ``mix64(shingle ^ g_i)``. Chunked over shingles to bound the (P, chunk)
+    temporary; returns uint64[num_perm]."""
+    num_perm = len(gammas)
+    if shingles.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    CHUNK = 8192
+    for s in range(0, shingles.size, CHUNK):
+        chunk = shingles[s : s + CHUNK]
+        # (P, n) broadcast xor, finalize, min along shingle axis
+        h = mix64(chunk[None, :] ^ gammas[:, None])
+        np.minimum(sig, h.min(axis=1), out=sig)
+    return sig
+
+
+def simhash_fingerprint(shingles: np.ndarray) -> int:
+    """64-bit SimHash: bit b of the fingerprint is 1 iff more than half of
+    the shingle hashes have bit b set. Returns a Python int (uint64 range)."""
+    if shingles.size == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)
+    votes = bits.sum(axis=0, dtype=np.int64)
+    fp = np.uint64(0)
+    on = votes * 2 > shingles.size
+    with np.errstate(over="ignore"):
+        fp = np.bitwise_or.reduce(np.where(on, _U64(1) << np.arange(64, dtype=np.uint64), _U64(0)))
+    return int(fp)
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int, seed: int) -> np.ndarray:
+    """Collapse a MinHash signature into ``bands`` 64-bit band hashes
+    (LSH banding, Leskovec/Rajaraman/Ullman MMDS ch.3). Band index is mixed
+    in so identical row-slices in different bands don't collide."""
+    sig = sig.reshape(bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        acc = np.full(bands, _U64(seed & 0xFFFFFFFFFFFFFFFF) + _SM_GAMMA, dtype=np.uint64)
+        for r in range(rows_per_band):
+            acc = mix64(acc ^ sig[:, r])
+        acc = mix64(acc ^ (np.arange(bands, dtype=np.uint64) * _SM_GAMMA))
+    return acc
+
+
+def to_signed(a: np.ndarray) -> np.ndarray:
+    """uint64 → int64 bit-view (Spark LongType carries the same 64 bits)."""
+    return a.view(np.int64)

@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (``embeddings`` table:
+``(vec_id:long, embedding:array<float>, label:int)``).
+
+Two paths, mirroring the dedup engine's exact-vs-LSH split:
+
+  * brute-force cosine top-k — the correctness baseline. The k-smallest
+    problem per query is a window top-k over a self-join; at N queries ×
+    N corpus it is O(N²) — usable for oracles and small N, never at scale.
+  * random-hyperplane LSH buckets — the scale path (Charikar '02 SimHash for
+    cosine): h-bit sign sketch per vector, candidates = same-bucket pairs,
+    verified by exact cosine. Recall tuned by number of tables × bits.
+
+Dot products run JVM-side via ``aggregate(zip_with(...))`` — no Python in
+either path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_unit_norm(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm; keeps raw vectors (normalizing in place would lose
+    the magnitude some downstream scoring wants)."""
+    return vectors.withColumn("l2norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    Plan shape: broadcast the smaller side (corpus, when it fits) → cross
+    product stays partition-local, no shuffle until the per-query top-k
+    window. At cluster scale the broadcast ceiling (~8 GB) bounds corpus
+    size; beyond that, IVF-style partition pruning (``lsh_bucket_candidates``)
+    is the path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_sketch(vectors: DataFrame, n_bits: int, dim: int, seed: int, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane sign sketch: bit i = sign(<v, r_i>). The hyperplanes
+    are a deterministic seeded Gaussian matrix broadcast into the plan as
+    literal arrays (dim × n_bits doubles — tiny)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bit_cols = []
+    for i in range(n_bits):
+        r = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit_cols.append(F.when(_dot(F.col(vec_col), r) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i))
+    bucket = bit_cols[0]
+    for c in bit_cols[1:]:
+        bucket = bucket + c
+    return vectors.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_bucket_candidates(
+    vectors: DataFrame,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN candidate pairs: same sign-sketch bucket in ANY of ``n_tables``
+    independent hyperplane tables. Equi-join per table on (table, bucket) —
+    the cosine analog of MinHash banding."""
+    sketches = []
+    base = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    for t in range(n_tables):
+        s = hyperplane_sketch(base.withColumnRenamed("v", vec_col), n_bits, dim, seed + 1000 * t, vec_col)
+        sketches.append(s.select(F.lit(t).alias("table_id"), F.col("vid"), "bucket"))
+    allb = sketches[0]
+    for s in sketches[1:]:
+        allb = allb.unionByName(s)
+    a, b = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.table_id") == F.col("b.table_id"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    k: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH candidates → exact cosine on candidates only →
+    per-query window top-k. Symmetric: each pair scores for both endpoints."""
+    cands = lsh_bucket_candidates(vectors, n_bits, n_tables, dim, seed)
+    v = vectors.select(F.col("vec_id"), F.col("embedding"))
+    both = cands.unionByName(
+        cands.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    scored = (
+        both.join(v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")), "id_a")
+        .join(v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
+        .select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

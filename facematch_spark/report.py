@@ -1,0 +1,53 @@
+"""Report sinks: CSV/Parquet pair reports + top/bottom-K edges + run summary.
+
+Replaces the reference's Jinja2 HTML/CSV rendering (``utils.py:254-347``,
+``report.html``, ``csv.html``): the full pair relation is written
+distributed (``df.write.csv``); only the bounded top/bottom-K edge list is
+collected driver-side (the reference collected *everything* and sorted in
+memory, ``tasks.py:109``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from facematch_spark.config import DedupeConfig
+
+
+def write_csv_report(pairs: DataFrame, out_dir: str, threshold: float) -> None:
+    """Full findings CSV (csv.html analog: idx,file1,file2,similarity —
+    ``csv.html:1-2``), written distributed with a header."""
+    (
+        pairs.filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("similarity"), "method")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out_dir)
+    )
+
+
+def top_bottom_edges(pairs: DataFrame, edges: int) -> tuple[list, list]:
+    """Top-K strongest and bottom-K weakest unique pairs — the reference's
+    'first/last N edges' report sections (``utils.py:270-298``). Spark plans
+    both as TakeOrderedAndProject (limit pushed into the sort)."""
+    base = pairs.dropDuplicates(["id_a", "id_b"])
+    top = base.orderBy(F.desc("jaccard")).limit(edges).collect()
+    bottom = base.orderBy(F.asc("jaccard")).limit(edges).collect()
+    return top, bottom
+
+
+def run_summary(counts: dict, times: dict, cfg: DedupeConfig) -> dict:
+    """Metrics dict in the shape of the reference's run-info JSON
+    (``__main__.py:134-152``: Files/Findings/Database counts + timings)."""
+    total = sum(times.values())
+    return {
+        "config_hash": cfg.config_hash,
+        "files": counts.get("files"),
+        "findings": counts.get("pairs"),
+        "clusters": counts.get("clusters"),
+        "encoding_time_s": round(times.get("sign", 0.0), 3),
+        "dedupe_time_s": round(times.get("dedupe", 0.0), 3),
+        "cluster_time_s": round(times.get("cluster", 0.0), 3),
+        "total_time_s": round(total, 3),
+        "files_per_sec": round(counts.get("files", 0) / total, 3) if total else None,
+    }

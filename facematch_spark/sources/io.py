@@ -1,0 +1,48 @@
+"""Sources & sinks.
+
+The reference reads a flat directory of images (``Dataset.get_files()``,
+``utils.py:117-124``) and persists every derived table as a JSON blob inside
+that directory (``utils.py:83-141``). Here the canonical input is an Iceberg
+table of ``(repo, path, commit, lang, content)`` and all stage outputs are
+columnar tables. Iceberg needs its runtime jar on the classpath — absent in
+this sandbox, so the Iceberg path is gated behind a capability probe and
+everything falls back to plain Parquet with identical semantics (snapshot
+pinning degrades to directory versioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from facematch_spark import schema as S
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001 — capability probe
+        return True
+    except Exception:
+        return False
+
+
+def read_source_files(spark: SparkSession, location: str) -> DataFrame:
+    """Read the input relation. ``location`` is either an Iceberg table name
+    (``catalog.db.table``) or a Parquet path. Schema is enforced, never
+    inferred; Catalyst pushes lang/path predicates into the scan."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.schema(S.SOURCE_FILES).parquet(location)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)

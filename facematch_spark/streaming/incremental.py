@@ -1,0 +1,103 @@
+"""Structured Streaming surface.
+
+The reference has no data streaming (its Celery queues carry tasks, not
+rows — ``c.py:4-21``; chords are barriers, not windows — SURVEY.md §2.9).
+Two streaming capabilities still belong in the engine:
+
+  1. **Incremental signing** — new corpus files appended after a batch run
+     are signed and merged without re-signing the world. Batch analog of the
+     reference's ``pre_encodings`` skip (``utils.py:178-186``); streaming
+     form: ``readStream`` over the input directory with an ``availableNow``
+     trigger → the same vectorized signature stage → ``foreachBatch`` upsert
+     into the signatures checkpoint. Dedup state IS the signatures table, so
+     no watermark is needed.
+
+  2. **Windowed event aggregation** — the generic streaming-operator
+     capability (event-time windows + late data) exercised against the
+     driver's ``events`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from facematch_spark import schema as S
+from facematch_spark.config import DedupeConfig
+from facematch_spark.operators.signatures import sign_documents
+
+
+def incremental_sign(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    cfg: DedupeConfig,
+) -> None:
+    """Sign newly-appended parquet files under ``input_dir`` exactly once.
+
+    ``availableNow`` drains everything currently unprocessed and stops —
+    idempotent resume comes from the streaming checkpoint (file-source log),
+    the streaming analog of the reference's incremental encode skip.
+    """
+    stream = (
+        spark.readStream.schema(S.SOURCE_FILES)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        sigs = sign_documents(batch_df, cfg)
+        sigs.write.mode("append").parquet(output_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark for late data.
+    Works identically on a stream (readStream) or a batch DataFrame — the
+    batch form is what the SQL oracle checks."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_event_counts(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """Drive the windowed aggregation as an actual Structured Streaming query
+    over the events parquet (availableNow → memory sink → final table).
+    Proves the operator works under the streaming engine, then returns the
+    result as a normal DataFrame for comparison."""
+    schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    agg = windowed_event_counts(stream)
+    name = f"stream_out_{abs(hash(parquet_path)) % 10_000_000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -104,11 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_anti_join(spark, sf):
         # left-anti (J2/U2 analog: incremental resume skip, utils.py:178-186).
-        cust = _t(spark, sf, "customer")
         orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
         return (
-            cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-            .select("c_custkey", "c_mktsegment")
+            orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+            .select("o_orderkey", "o_orderstatus")
         )
     q["q_anti_join"] = q_anti_join
 
@@ -282,7 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall vs brute force pytest-gated.
         from facematch_spark.operators.similarity import ann_topk_lsh
 
-        return ann_topk_lsh(_t(spark, sf, "embeddings"), k=3, n_bits=6, n_tables=6)
+        return ann_topk_lsh(_t(spark, sf, "embeddings"), k=3, n_bits=4, n_tables=8)
     q["ann_lsh_topk"] = ann_lsh_topk
 
     # ---- multimodal plumbing ----
@@ -367,8 +367,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q_anti_join"] = """
-        SELECT c_custkey, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
     """
 
     o["q_semi_join"] = """

@@ -99,7 +99,9 @@ def _star_contraction(pairs: DataFrame, max_iter: int) -> DataFrame:
 
     def _fingerprint(e: DataFrame) -> tuple:
         row = e.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("src", "dst")).alias("chk")
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode would overflow a long sum of 64-bit hashes
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("chk"),
         ).collect()[0]
         return (row["n"], row["chk"])
 

@@ -79,33 +79,71 @@ def band_explode(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
 def candidate_pairs(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """LSH candidate pair generation → (id_a, id_b) distinct, id_a < id_b.
 
-    Hot-band control: ``groupBy(band_id, band_hash).count()`` feeds a filter
-    dropping groups over ``max_band_group`` (quadratic-blowup guard). The
-    join itself is repartitioned on the band key so the shuffle is the only
-    data movement; AQE handles residual skew.
+    Skew handling (north rule: salt hot bands, repartition by band-hash key,
+    spill-safe shuffle) is explicit and size-tiered via
+    ``groupBy(band_id, band_hash).count()``:
+
+      * g == 1           → dropped (no pair can come from a singleton group);
+      * 1 < g ≤ cap      → plain self equi-join on (band_id, band_hash). The
+                           join's hash exchange IS the band-hash repartition —
+                           adding a manual ``repartition`` would only double
+                           the shuffle;
+      * cap < g ≤ max    → **salted triangle join**: members get a bucket
+                           ``b = xxhash64(file_id) % s``; the left side is
+                           replicated to every bucket ≥ its own, the right
+                           side keeps its bucket, and the join key becomes
+                           (band, left_replica_bucket == right_bucket). Every
+                           unordered pair lands on exactly one reducer and no
+                           reducer sees more than (g/s)² work — the standard
+                           blocked self-join for skewed keys;
+      * g > max          → dropped from candidate generation entirely
+                           (boilerplate bands — license headers, empty
+                           ``__init__`` files; members are near-certainly
+                           co-candidates through their other b-1 bands; recall
+                           impact is measured in tests/test_skew.py).
+
+    AQE's skew-join split remains on as a backstop for residual imbalance.
     """
     bands_df = band_explode(signatures, cfg)
 
-    # Hot-band frequency control (skew handling per north rule).
     group_sizes = bands_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("g"))
-    keep = group_sizes.filter((F.col("g") > 1) & (F.col("g") <= cfg.max_band_group))
-    pruned = bands_df.join(keep, ["band_id", "band_hash"], "left_semi")
+    sized = bands_df.join(group_sizes, ["band_id", "band_hash"])
 
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    pairs = (
-        a.join(
-            b,
+    normal = sized.filter((F.col("g") > 1) & (F.col("g") <= cfg.hot_band_cap)).drop("g")
+    hot = sized.filter((F.col("g") > cfg.hot_band_cap) & (F.col("g") <= cfg.max_band_group)).drop("g")
+
+    a = normal.alias("a")
+    b = normal.alias("b")
+    normal_pairs = a.join(
+        b,
+        on=[
+            F.col("a.band_id") == F.col("b.band_id"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col("a.file_id") < F.col("b.file_id"),
+        ],
+    ).select(F.col("a.file_id").alias("id_a"), F.col("b.file_id").alias("id_b"))
+
+    s = cfg.salt_buckets
+    hot_b = hot.withColumn("bkt", F.pmod(F.xxhash64("file_id"), F.lit(s)))
+    hot_a = hot_b.withColumn("rep", F.explode(F.sequence(F.col("bkt"), F.lit(s - 1))))
+    ha, hb = hot_a.alias("ha"), hot_b.alias("hb")
+    hot_pairs = (
+        ha.join(
+            hb,
             on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.file_id") < F.col("b.file_id"),
+                F.col("ha.band_id") == F.col("hb.band_id"),
+                F.col("ha.band_hash") == F.col("hb.band_hash"),
+                F.col("ha.rep") == F.col("hb.bkt"),
+                F.col("ha.file_id") != F.col("hb.file_id"),
             ],
         )
-        .select(F.col("a.file_id").alias("id_a"), F.col("b.file_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.least(F.col("ha.file_id"), F.col("hb.file_id")).alias("id_a"),
+            F.greatest(F.col("ha.file_id"), F.col("hb.file_id")).alias("id_b"),
+        )
     )
-    return pairs
+
+    return normal_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def crossjoin_pairs(signatures: DataFrame) -> DataFrame:

@@ -26,11 +26,11 @@ def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy: number of matches of
     ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]`` (letters runs / digit runs / single
     punctuation), the standard pre-tokenizer shape."""
-    bpe_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    bpe_re = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
     return docs.select(
         "doc_id",
         F.size(tokens_col()).cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_re))).cast("long").alias("n_subwords"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_re), F.lit(1))).cast("long").alias("n_subwords"),
         F.length("text").cast("long").alias("n_chars_exact"),
     )
 

@@ -60,13 +60,23 @@ def run_dedupe(
     timer.start("sign")
     if store is not None:
         pending = store.pending_inputs(source, spark)
-        new_sigs = SIG.sign_documents(pending, cfg)
-        sigs = store.merge_signatures(new_sigs, spark)
-        sigs_pid = with_partition_lineage(sigs, "sign", cfg.config_hash)
-        data, lineage = split_lineage(sigs_pid, "sign", cfg.config_hash)
-        store.write("signatures", data)
-        lineage.write.mode("append").parquet(store.path("lineage_sign"))
-        sigs = store.read(spark, "signatures", S.SIGNATURES)
+        has_ckpt = store.exists("signatures")
+        if has_ckpt and pending.isEmpty():
+            # nothing new — reuse the checkpoint untouched (idempotent rerun)
+            sigs = store.read(spark, "signatures", S.SIGNATURES)
+        else:
+            new_sigs = SIG.sign_documents(pending, cfg)
+            merged = store.merge_signatures(new_sigs, spark)
+            # the merge plan reads the table we are about to overwrite —
+            # materialize it first (eager localCheckpoint) so the overwrite
+            # cannot delete files out from under its own scan
+            merged = merged.localCheckpoint()
+            sigs_pid = with_partition_lineage(merged, "sign", cfg.config_hash)
+            data, lineage = split_lineage(sigs_pid, "sign", cfg.config_hash)
+            store.write("signatures", data)
+            lineage.write.mode("append").parquet(store.path("lineage_sign"))
+            spark.catalog.refreshByPath(store.path("signatures"))
+            sigs = store.read(spark, "signatures", S.SIGNATURES)
     else:
         sigs = SIG.sign_documents(source, cfg)
         sigs = sigs.localCheckpoint()  # materialize once; reused by 3 stages

@@ -88,8 +88,20 @@ def run_streaming_event_counts(spark: SparkSession, parquet_path: str) -> DataFr
     over the events parquet (availableNow → memory sink → final table).
     Proves the operator works under the streaming engine, then returns the
     result as a normal DataFrame for comparison."""
+    import os
+    import shutil
+    import tempfile
+
     schema = spark.read.parquet(parquet_path).schema
+    # the file stream source requires a directory; stage single-file inputs
+    if os.path.isfile(parquet_path):
+        staged = tempfile.mkdtemp(prefix="fm_stream_")
+        shutil.copy(parquet_path, staged)
+        parquet_path = staged
     stream = spark.readStream.schema(schema).parquet(parquet_path)
+    # watermarks require TIMESTAMP (LTZ); parquet may carry NTZ — with the
+    # session pinned to UTC the cast is wall-clock-preserving.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_event_counts(stream)
     name = f"stream_out_{abs(hash(parquet_path)) % 10_000_000}"
     q = (

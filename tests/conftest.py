@@ -8,7 +8,7 @@ from facematch_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
-    s = get_spark(app_name="facematch_spark_tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark(app_name="facematch_spark_tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()
 

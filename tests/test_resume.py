@@ -1,0 +1,104 @@
+"""Checkpoint/resume + CLI tests (SURVEY.md §5.3): rerun skips completed
+work, --reset truncates, config-keyed tables coexist, outputs are stable
+across reruns. Consolidated around two pipeline runs + one CLI subprocess to
+keep suite wall-time bounded."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from facematch_spark import schema as S
+from facematch_spark.config import DedupeConfig
+from facematch_spark.fixtures import corpus_to_pandas, generate_corpus
+from facematch_spark.plans.pipeline import run_dedupe
+from facematch_spark.sources.checkpoint import StageStore
+
+CFG = DedupeConfig(jaccard_threshold=0.5)
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    corpus = generate_corpus(n_base=20, seed=7, edge_rows=False)
+    return spark.createDataFrame(corpus_to_pandas(corpus), schema=S.SOURCE_FILES).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def store_and_runs(spark, small_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    store = StageStore(root, CFG)
+    first = run_dedupe(spark, small_df, CFG, store=store)
+    second = run_dedupe(spark, small_df, CFG, store=store)
+    return store, first, second
+
+
+def test_resume_skips_signed_files(spark, small_df, store_and_runs):
+    store, first, second = store_and_runs
+    assert store.exists("signatures") and store.exists("pairs") and store.exists("clusters")
+    # rerun over the same input has zero pending files (utils.py:178-186 analog)
+    assert store.pending_inputs(small_df, spark).count() == 0
+    # stages read back, results identical
+    assert second.counts == first.counts
+    a = sorted(map(tuple, first.pairs.select("id_a", "id_b").collect()))
+    b = sorted(map(tuple, second.pairs.select("id_a", "id_b").collect()))
+    assert a == b
+    assert first.counts["files"] == small_df.count()
+
+
+def test_incremental_detects_new_files(spark, small_df, store_and_runs):
+    store, _, _ = store_and_runs
+    extra = small_df.limit(3).select(
+        F.col("repo"), F.concat(F.col("path"), F.lit(".new")).alias("path"),
+        F.col("commit"), F.col("lang"), F.col("content"),
+    )
+    widened = small_df.unionByName(extra)
+    assert store.pending_inputs(widened, spark).count() == 3
+
+
+def test_metrics_lineage_written(spark, small_df, store_and_runs):
+    store, _, _ = store_and_runs
+    m = store.read_metrics(spark)
+    stages = {r.stage for r in m.collect()}
+    assert {"sign", "dedupe", "cluster"} <= stages
+    per_part = spark.read.parquet(store.path("lineage_sign"))
+    assert per_part.filter(F.col("partition_id").isNotNull()).count() >= 1
+    assert per_part.agg(F.sum("rows_out")).collect()[0][0] == small_df.count()
+
+
+def test_config_keyed_reset_is_isolated(spark, small_df, store_and_runs, tmp_path_factory):
+    """Different shingle configs get distinct state (the reference's
+    config-suffixed file names, utils.py:56-59); reset() only truncates its
+    own config's tables (utils.py:77-81)."""
+    store, _, _ = store_and_runs
+    cfg2 = DedupeConfig(jaccard_threshold=0.5, k=7)
+    s2 = StageStore(store.root, cfg2)
+    assert s2.path("signatures") != store.path("signatures")
+    assert not s2.exists("signatures")
+    s2.write("signatures", spark.read.schema(S.SIGNATURES).parquet(store.path("signatures")))
+    assert s2.exists("signatures")
+    s2.reset()
+    assert not s2.exists("signatures")
+    assert store.exists("signatures")
+
+
+def test_cli_end_to_end(tmp_path_factory):
+    """Black-box CLI run in a subprocess (the spark-submit surface)."""
+    root = tmp_path_factory.mktemp("cli")
+    corpus = generate_corpus(n_base=12, seed=3, edge_rows=False)
+    pdf = corpus_to_pandas(corpus)
+    inp = str(root / "input.parquet")
+    pdf.to_parquet(inp)
+    out = str(root / "out")
+    res = subprocess.run(
+        [sys.executable, "-m", "facematch_spark.cli", inp, "--out", out,
+         "--threshold", "0.5", "--report", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][0])
+    assert summary["files"] == len(pdf)
+    assert summary["findings"] >= 1

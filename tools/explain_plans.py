@@ -1,0 +1,96 @@
+"""Dump formatted physical plans for the engine's key operators and grep
+them for the properties that matter at 100 TB:
+
+  * parquet scans carry PushedFilters / pruned ReadSchema (column pruning)
+  * small dims go broadcast (BroadcastHashJoin), big self-joins stay
+    shuffle-partitioned (SortMergeJoin/ShuffledHashJoin on the band key)
+  * hot paths sit inside WholeStageCodegen spans
+  * no Exchange appears twice in a row on the same keys (redundant shuffle)
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from facematch_spark.config import DedupeConfig  # noqa: E402
+from facematch_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def summarize(name: str, df, expect: list[str] | None = None, forbid: list[str] | None = None) -> None:
+    p = plan_of(df)
+    n_exchange = len(re.findall(r"\bExchange\b", p))
+    n_codegen = len(re.findall(r"WholeStageCodegen", p))
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", p)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    print(f"\n=== {name}")
+    print(f"  exchanges={n_exchange} codegen_spans={n_codegen} joins={joins}")
+    for pf in pushed[:3]:
+        print(f"  PushedFilters: [{pf[:100]}]")
+    for pat in expect or []:
+        tag = "OK " if re.search(pat, p) else "MISS"
+        print(f"  {tag} expect {pat}")
+    for pat in forbid or []:
+        tag = "BAD" if re.search(pat, p) else "OK "
+        print(f"  {tag} forbid {pat}")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain", master="local[8]", shuffle_partitions=8)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    # 1. filter + projection pushdown into the scan
+    q = docs.filter(F.col("n_chars") > 300).select("doc_id", "n_chars")
+    summarize("scan pushdown", q, expect=[r"PushedFilters: \[.*GreaterThan", r"ReadSchema: .*doc_id"])
+
+    # 2. LSH candidate join: shuffle join on band key, no cartesian
+    from facematch_spark.operators.dedup import doc_signatures
+    from facematch_spark.operators.lsh import candidate_pairs
+
+    cfg = DedupeConfig(jaccard_threshold=0.5)
+    sigs = doc_signatures(docs, cfg)
+    summarize(
+        "LSH candidates", candidate_pairs(sigs, cfg),
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
+    # 3. exact jaccard shingle join
+    from facematch_spark.operators.dedup import ngram_jaccard_pairs
+
+    summarize("ngram jaccard", ngram_jaccard_pairs(docs, 9, 0.5), forbid=[r"CartesianProduct"])
+
+    # 4. dim join should broadcast
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderpriority").count()
+    summarize("fact-dim join", j, expect=[r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"])
+
+    # 5. brute-force cosine: broadcasted corpus (partition-local cross), window top-k
+    from facematch_spark.operators.similarity import cosine_topk_bruteforce
+
+    summarize(
+        "cosine topk", cosine_topk_bruteforce(emb, emb, 3),
+        expect=[r"BroadcastNestedLoopJoin"],  # deliberate: broadcast cross, no shuffle of the big side
+    )
+
+    # 6. top-k: TakeOrderedAndProject (limit pushed into sort)
+    topk = li.orderBy(F.desc("l_extendedprice")).limit(5)
+    summarize("global topk", topk, expect=[r"TakeOrderedAndProject"])
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_rollup_counts"] = q_rollup_counts
 
+    def q_sessionize(spark, sf):
+        # sessionization: lag-gap + running session counter per user (the
+        # batch form of session_window; guide "Common OLAP patterns").
+        from pyspark.sql import Window as W
+
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = us - F.lag(us).over(w)
+        with_new = ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        sess = with_new.withColumn(
+            "session_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        return sess.groupBy("user_id").agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    q["q_sessionize"] = q_sessionize
+
+    def q_pivot_daily(spark, sf):
+        # pivot: event_type columns × day rows (counts).
+        ev = _t(spark, sf, "events")
+        types = [r[0] for r in ev.select("event_type").distinct().collect()]
+        return (
+            ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+            .groupBy("day")
+            .pivot("event_type", sorted(types))
+            .count()
+            .na.fill(0)
+        )
+    q["q_pivot_daily"] = q_pivot_daily
+
     def q_events_hourly(spark, sf):
         # event-time tumbling window, batch form (streaming twin below).
         from facematch_spark.streaming.incremental import windowed_event_counts
@@ -407,6 +441,37 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l_linestatus, 'ALL') AS linestatus,
                count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["q_sessionize"] = """
+        WITH lagged AS (
+            SELECT user_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess,
+                   ts, event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM lagged
+        )
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id
+    """
+
+    o["q_pivot_daily"] = """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'error')    AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'view')     AS view
+        FROM events GROUP BY 1
     """
 
     _hourly = """

@@ -17,7 +17,7 @@ import sys
 
 from facematch_spark.config import DedupeConfig
 from facematch_spark.plans.pipeline import report_pairs, run_dedupe
-from facematch_spark.report import run_summary, top_bottom_edges, write_csv_report
+from facematch_spark.report import run_summary, top_bottom_edges, write_csv_report, write_html_report
 from facematch_spark.session import get_spark
 from facematch_spark.sources.checkpoint import StageStore
 from facematch_spark.sources.io import read_source_files
@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps(summary))
     if args.report:
         write_csv_report(res.pairs, f"{args.out}/report_csv_{cfg.table_suffix()}", args.report_threshold)
+        write_html_report(res.pairs, f"{args.out}/report_{cfg.table_suffix()}.html", cfg, summary)
         top, bottom = top_bottom_edges(res.pairs, args.edges)
         for r in top:
             print(f"TOP {r.id_a} {r.id_b} {r.jaccard:.4f} {r.method}")

@@ -84,20 +84,51 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_sketch(vectors: DataFrame, n_bits: int, dim: int, seed: int, vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane sign sketch: bit i = sign(<v, r_i>). The hyperplanes
-    are a deterministic seeded Gaussian matrix broadcast into the plan as
-    literal arrays (dim × n_bits doubles — tiny)."""
+def hyperplane_sketches(
+    vectors: DataFrame,
+    n_bits: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane sign sketches for ALL tables in one Arrow pass:
+    bit i of table t = sign(<v, r_{t,i}>). One (batch × dim) @ (dim ×
+    tables·bits) NumPy matmul per Arrow batch — the hyperplanes are a
+    deterministic seeded Gaussian matrix pickled once into the closure
+    (tables·bits·dim doubles, tiny). Output one row per (vector, table):
+    (vid, table_id, bucket)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
-    bit_cols = []
-    for i in range(n_bits):
-        r = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit_cols.append(F.when(_dot(F.col(vec_col), r) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i))
-    bucket = bit_cols[0]
-    for c in bit_cols[1:]:
-        bucket = bucket + c
-    return vectors.withColumn("bucket", bucket.cast("long"))
+    planes = rng.standard_normal((dim, n_tables * n_bits))
+    weights = (2 ** np.arange(n_bits, dtype=np.int64))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"vid": pd.Series(dtype="int64"),
+                                    "table_id": pd.Series(dtype="int32"),
+                                    "bucket": pd.Series(dtype="int64")})
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (V @ planes >= 0).reshape(n, n_tables, n_bits)
+            buckets = (signs * weights).sum(axis=2).astype(np.int64)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table_id": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        batches, schema="vid long, table_id int, bucket long"
+    )
 
 
 def lsh_bucket_candidates(
@@ -112,14 +143,7 @@ def lsh_bucket_candidates(
     """ANN candidate pairs: same sign-sketch bucket in ANY of ``n_tables``
     independent hyperplane tables. Equi-join per table on (table, bucket) —
     the cosine analog of MinHash banding."""
-    sketches = []
-    base = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    for t in range(n_tables):
-        s = hyperplane_sketch(base.withColumnRenamed("v", vec_col), n_bits, dim, seed + 1000 * t, vec_col)
-        sketches.append(s.select(F.lit(t).alias("table_id"), F.col("vid"), "bucket"))
-    allb = sketches[0]
-    for s in sketches[1:]:
-        allb = allb.unionByName(s)
+    allb = hyperplane_sketches(vectors, n_bits, n_tables, dim, seed, vec_col, id_col)
     a, b = allb.alias("a"), allb.alias("b")
     return (
         a.join(

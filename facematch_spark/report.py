@@ -36,6 +36,48 @@ def top_bottom_edges(pairs: DataFrame, edges: int) -> tuple[list, list]:
     return top, bottom
 
 
+def write_html_report(
+    pairs: DataFrame,
+    out_path: str,
+    cfg: DedupeConfig,
+    summary: dict | None = None,
+) -> None:
+    """Bounded HTML report (report.html analog, utils.py:254-335): metrics
+    header + top/bottom-K edge tables. Only the K-bounded rows are collected
+    driver-side; the full relation stays in the CSV/Parquet sink. Rendered
+    with stdlib formatting (no Jinja2 dependency); no image previews — the
+    payload is code, not faces."""
+    top, bottom = top_bottom_edges(pairs, cfg.edges)
+
+    def rows_html(rows) -> str:
+        out = []
+        for i, r in enumerate(rows):
+            out.append(
+                f"<tr><td>{i}</td><td>{r.id_a}</td><td>{r.id_b}</td>"
+                f"<td>{r.jaccard:.4f}</td><td>{r.hamming}</td>"
+                f"<td>{r.containment:.4f}</td><td>{r.method}</td></tr>"
+            )
+        return "\n".join(out)
+
+    meta = "".join(
+        f"<tr><th>{k}</th><td>{v}</td></tr>" for k, v in (summary or {}).items()
+    )
+    head = "<tr><th>#</th><th>id_a</th><th>id_b</th><th>jaccard</th><th>hamming</th><th>containment</th><th>method</th></tr>"
+    html = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>dedupe report {cfg.config_hash}</title>
+<style>body{{font-family:monospace}} table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:2px 8px}}</style></head><body>
+<h1>Dedupe report — config {cfg.table_suffix()}</h1>
+<table>{meta}</table>
+<h2>Top {cfg.edges} edges (strongest)</h2>
+<table>{head}{rows_html(top)}</table>
+<h2>Bottom {cfg.edges} edges (weakest)</h2>
+<table>{head}{rows_html(bottom)}</table>
+</body></html>"""
+    with open(out_path, "w") as f:
+        f.write(html)
+
+
 def run_summary(counts: dict, times: dict, cfg: DedupeConfig) -> dict:
     """Metrics dict in the shape of the reference's run-info JSON
     (``__main__.py:134-152``: Files/Findings/Database counts + timings)."""

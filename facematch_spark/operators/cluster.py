@@ -35,13 +35,23 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 50,
     algorithm: str = "propagate",
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id_a, id_b) edge list → (file_id, cluster_id), cluster_id = min
     member id. ``nodes`` (single column ``file_id``) adds isolated vertices
     as singleton clusters; pass ``signatures.select("file_id")`` for the
     reference-parity behavior where every scanned file appears.
+
+    Size-tiered execution: the verified-pair graph is usually tiny relative
+    to the corpus (dups are rare), so when the edge count is below
+    ``driver_threshold`` the transitive closure runs as an in-driver
+    union-find over one collect — O(E α(E)) with zero shuffle — while bigger
+    graphs take the iterative distributed path. Pass ``driver_threshold=0``
+    to force the distributed algorithms (tests exercise both).
     """
-    if algorithm == "star":
+    if driver_threshold and pairs.limit(driver_threshold + 1).count() <= driver_threshold:
+        labels = _driver_union_find(pairs)
+    elif algorithm == "star":
         labels = _star_contraction(pairs, max_iter)
     else:
         labels = _min_label_propagation(pairs, max_iter)
@@ -52,6 +62,39 @@ def connected_components(
         ).withColumn("cluster_id", F.col("file_id"))
         labels = labels.unionByName(singletons)
     return labels
+
+
+def _driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Path-compressed union-find on the driver for small edge lists."""
+    edges = pairs.select("id_a", "id_b").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            # union by min id so cluster_id == component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in list(parent)]
+    spark = pairs.sparkSession
+    if not rows:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("file_id", T.LongType(), False),
+                T.StructField("cluster_id", T.LongType(), False),
+            ]),
+        )
+    return spark.createDataFrame(rows, "file_id long, cluster_id long")
 
 
 def _min_label_propagation(pairs: DataFrame, max_iter: int) -> DataFrame:
@@ -148,7 +191,18 @@ def _star_contraction(pairs: DataFrame, max_iter: int) -> DataFrame:
         "cluster_id", F.col("file_id")
     )
     members = edges.select(F.col("dst").alias("file_id"), F.col("src").alias("cluster_id"))
-    return members.unionByName(roots).groupBy("file_id").agg(F.min("cluster_id").alias("cluster_id"))
+    labels = members.unionByName(roots).groupBy("file_id").agg(F.min("cluster_id").alias("cluster_id"))
+    # nodes whose only incidences were self-loops were dropped by the
+    # src<dst canonicalization — restore them as their own singleton cluster
+    all_nodes = (
+        pairs.select(F.col("id_a").alias("file_id"))
+        .union(pairs.select(F.col("id_b").alias("file_id")))
+        .distinct()
+    )
+    loners = all_nodes.join(labels.select("file_id"), "file_id", "left_anti").withColumn(
+        "cluster_id", F.col("file_id")
+    )
+    return labels.unionByName(loners)
 
 
 def cluster_exemplars(clusters: DataFrame, signatures: DataFrame) -> DataFrame:

@@ -58,32 +58,143 @@ def char_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
-    """Exact char-k-gram Jaccard pairs ≥ threshold.
+    """Exact char-k-gram Jaccard pairs ≥ threshold, via a prefix-filtered
+    set-similarity join (PPJoin-style; Xiao et al., WWW'08 — public
+    algorithm):
 
-    Candidate generation = shingle equi-join (pairs sharing ≥1 shingle);
-    exact by construction (J>0 ⇒ ≥1 shared shingle). Scale posture: the
-    shuffle is on the shingle value; hot shingles are the skew risk — the
-    production path (minhash_lsh_pairs) bounds them via banding + the
-    hot-band cap, while this exact operator serves as its recall oracle.
+      1. shingle sets hashed to longs (xxhash64 — join keys stay 8 bytes;
+         distinct counts, hence Jaccard values, are hash-collision-exact in
+         expectation and deterministic for a given corpus);
+      2. **prefix filter**: order each doc's shingles by global frequency
+         (rarest first); two sets with Jaccard ≥ t MUST share a shingle
+         within each other's first ``n - ceil(t*n) + 1`` shingles, so the
+         candidate equi-join runs on prefixes only. Hot boilerplate shingles
+         (the skew risk — sum over shingles of count² explodes on word-soup
+         corpora) sit at the END of the frequency order and never enter the
+         join;
+      3. exact verification: per candidate pair, intersect the full sorted
+         hash arrays in an Arrow-batched NumPy stage (np.intersect1d),
+         compute jaccard = |∩| / (n_a + n_b - |∩|), filter.
+
+    Exactness: step 2 is a lossless filter (prefix-filter theorem), step 3
+    is exact set intersection — output matches the naive all-shared-shingle
+    join bit for bit (integer-ratio doubles).
     """
-    sh = char_shingles(docs, k)
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    # materialize once: the shingle relation feeds five consumers (freq,
+    # rank, cardinality, broadcast collect, fallback arrays) — without a
+    # checkpoint each one would re-run the explode+hash lineage
+    sh = (
+        char_shingles(docs, k)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .localCheckpoint()
     )
-    ca = card.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = card.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+
+    freq = sh.groupBy("sh").agg(F.count("*").alias("freq"))
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn("rnk", F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "sh")))
     )
+    card = ranked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    with_n = ranked.join(card, "doc_id")
+    # prefix length: n - ceil(t*n) + 1
+    prefix = (
+        with_n.filter(
+            F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "sh", "rnk", "n_sh")
+        .localCheckpoint()  # feeds both sides of the self-join
+    )
+
+    # candidate join with the lossless PPJoin filters:
+    #   length filter:   t·n_a ≤ n_b ≤ n_a/t  (else J < t regardless);
+    #   positional:      at the first shared prefix element (positions i, j
+    #                    in the global frequency order) the overlap is at
+    #                    most 1 + min(n_a-i, n_b-j); taking max over shared
+    #                    elements equals the first-element bound (earliest
+    #                    shared element has the largest slack), and it must
+    #                    reach α = ceil(t/(1+t)·(n_a+n_b)) for J ≥ t.
+    # The per-pair positional bound is max over shared elements of
+    # 1 + min(n_a-rnk_a, n_b-rnk_b) — a pair survives iff ANY join row
+    # passes, so the filter applies per-row BEFORE the dedup shuffle
+    # (map-side pruning; the groupBy-max formulation would shuffle every
+    # shared-prefix row first).
+    a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold) / (1 + threshold) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    slack = F.least(
+        F.col("a.n_sh") - F.col("a.rnk"), F.col("b.n_sh") - F.col("b.rnk")
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            & (slack + 1 >= alpha),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Verification tiering: when the whole shingle relation fits in a
+    # broadcast (rows bounded — ~8 bytes/shingle + ids), ship the per-doc
+    # sorted arrays once to every executor and verify candidates with zero
+    # array shuffle (candidates travel as two longs). Past the broadcast
+    # ceiling, fall back to the array equi-join (each candidate pulls both
+    # sorted arrays through the shuffle) — same results, more IO.
+    BROADCAST_SHINGLE_LIMIT = 50_000_000
+    n_shingle_rows = sh.count()
+
+    def _intersect_jaccard(x: np.ndarray, y: np.ndarray) -> float:
+        inter = np.intersect1d(x, y, assume_unique=True).size
+        return inter / (x.size + y.size - inter)
+
+    if n_shingle_rows <= BROADCAST_SHINGLE_LIMIT:
+        by_doc: dict[int, frozenset] = {}
+        for r in sh.groupBy("doc_id").agg(F.collect_list("sh").alias("arr")).collect():
+            by_doc[r["doc_id"]] = frozenset(r["arr"])
+        bc = docs.sparkSession.sparkContext.broadcast(by_doc)
+
+        def verify_bc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lookup = bc.value
+            for pdf in it:
+                jac = []
+                for ia, ib in zip(pdf["id_a"], pdf["id_b"]):
+                    sa, sb = lookup[ia], lookup[ib]
+                    inter = len(sa & sb) if len(sa) <= len(sb) else len(sb & sa)
+                    jac.append(inter / (len(sa) + len(sb) - inter))
+                out = pdf.assign(jaccard=jac)
+                yield out[out["jaccard"] >= threshold]
+
+        return cands.mapInPandas(verify_bc, schema="id_a long, id_b long, jaccard double")
+
+    arrays = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("sh")).alias("arr"))
+    paired = (
+        cands.join(arrays.select(F.col("doc_id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
+        .join(arrays.select(F.col("doc_id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
+    )
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            jac = np.empty(n, dtype=np.float64)
+            aa, bb = pdf["arr_a"].to_numpy(), pdf["arr_b"].to_numpy()
+            for i in range(n):
+                jac[i] = _intersect_jaccard(
+                    np.asarray(aa[i], dtype=np.int64), np.asarray(bb[i], dtype=np.int64)
+                )
+            out = pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac})
+            yield out[out["jaccard"] >= threshold]
+
+    return paired.mapInPandas(verify, schema="id_a long, id_b long, jaccard double")
 
 
 def docs_as_source_files(docs: DataFrame) -> DataFrame:

@@ -55,32 +55,61 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self).
 
-    Plan shape: broadcast the smaller side (corpus, when it fits) → cross
-    product stays partition-local, no shuffle until the per-query top-k
-    window. At cluster scale the broadcast ceiling (~8 GB) bounds corpus
-    size; beyond that, IVF-style partition pruning (``lsh_bucket_candidates``)
-    is the path.
+    Plan shape: the corpus matrix is collected once and broadcast into an
+    Arrow-batched NumPy stage; each query partition computes a
+    (batch × dim) @ (dim × N) matmul and selects top-k locally — the
+    distributed brute-force baseline. No shuffle at all: queries stay where
+    they are, only the (small) corpus moves. At cluster scale the broadcast
+    ceiling bounds N; beyond that, ``ann_topk_lsh`` (bucketed candidates) or
+    IVF-style partition pruning is the path.
+
+    Ranking is on the 6-dp-rounded cosine with neighbor-id tiebreak, exactly
+    matching the ANSI-SQL oracle's ``row_number() OVER (ORDER BY cosine
+    DESC, neighbor_id)``.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-                6,
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
+    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((c_ids, C, c_norm))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, mat_c, norm_c = bc.value
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_ids = pdf[id_col].to_numpy()
+            q_norm = np.sqrt((Q * Q).sum(axis=1))
+            cos = np.round(Q @ mat_c.T / (q_norm[:, None] * norm_c[None, :]), 6)
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(n):
+                row = cos[i]
+                mask = ids_c != q_ids[i]
+                cand_ids = ids_c[mask]
+                cand_cos = row[mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.append(np.full(len(order), q_ids[i], dtype=np.int64))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_cos[order])
+                out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                    "rank": np.concatenate(out_r),
+                }
+            )
+
+    return queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        batches, schema="query_id long, neighbor_id long, cosine double, rank int"
     )
 
 

@@ -124,7 +124,9 @@ def test_containment_pair_found(spark, tiny_df, sigs, tiny_corpus):
 
 
 def test_clusters_known_graphs(spark):
-    """Union-find on known graphs: chain, star, two components, self-loop."""
+    """Union-find on known graphs: chain, star, two components, self-loop —
+    on every execution tier (driver fast path + both distributed
+    algorithms)."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
          (10, 11), (10, 12), (10, 13),  # star at 10
@@ -132,17 +134,19 @@ def test_clusters_known_graphs(spark):
          (30, 30)],                     # self-loop
         "id_a long, id_b long",
     )
-    got = {
-        (r.file_id, r.cluster_id)
-        for r in connected_components(edges).collect()
-    }
     expect = {
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10), (12, 10), (13, 10),
         (20, 20), (21, 20),
         (30, 30),
     }
-    assert got == expect
+    for kwargs in (
+        {},  # driver fast path
+        {"driver_threshold": 0, "algorithm": "propagate"},
+        {"driver_threshold": 0, "algorithm": "star"},
+    ):
+        got = {(r.file_id, r.cluster_id) for r in connected_components(edges, **kwargs).collect()}
+        assert got == expect, f"tier {kwargs}"
 
 
 def test_clusters_star_algorithm_matches(spark):
@@ -150,9 +154,10 @@ def test_clusters_star_algorithm_matches(spark):
         [(i, i + 1) for i in range(1, 12)] + [(100, 101), (102, 101)],
         "id_a long, id_b long",
     )
-    a = sorted(connected_components(edges, algorithm="propagate").collect())
-    b = sorted(connected_components(edges, algorithm="star").collect())
-    assert a == b
+    a = sorted(connected_components(edges, driver_threshold=0, algorithm="propagate").collect())
+    b = sorted(connected_components(edges, driver_threshold=0, algorithm="star").collect())
+    c = sorted(connected_components(edges).collect())
+    assert a == b == c
 
 
 def test_end_to_end_planted_recall(spark, tiny_df, tiny_corpus):

@@ -25,7 +25,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
     import __spark_entry__ as E
     from facematch_spark.config import DedupeConfig
     from facematch_spark.operators.cluster import connected_components
-    from facematch_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from facematch_spark.operators.dedup import minhash_lsh_pairs
     from facematch_spark.session import get_spark
 
     spark = get_spark(

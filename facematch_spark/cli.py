@@ -16,7 +16,7 @@ import json
 import sys
 
 from facematch_spark.config import DedupeConfig
-from facematch_spark.plans.pipeline import report_pairs, run_dedupe
+from facematch_spark.plans.pipeline import run_dedupe
 from facematch_spark.report import run_summary, top_bottom_edges, write_csv_report, write_html_report
 from facematch_spark.session import get_spark
 from facematch_spark.sources.checkpoint import StageStore

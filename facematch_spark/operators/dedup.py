@@ -43,6 +43,9 @@ def char_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct char k-grams via built-in expressions —
     stays in whole-stage codegen: sequence → transform(substring) →
     array_distinct → explode."""
+    from facematch_spark.operators.signatures import _ensure_parallel
+
+    docs = _ensure_parallel(docs)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0))),

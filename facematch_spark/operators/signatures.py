@@ -67,6 +67,19 @@ def _classify(text: str | None, cfg: DedupeConfig) -> str:
     return S.STATUS_OK
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as one scan partition (a 34 MB
+    parquet is below maxPartitionBytes and often one row group), which would
+    serialize every mapInPandas stage onto one core. Repartition up to the
+    cluster's default parallelism when the scan under-partitions — a
+    negligible shuffle that unlocks full-width signing. Real multi-file /
+    multi-row-group inputs already arrive wide and are left untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """SOURCE_FILES-shaped DataFrame → SIGNATURES-shaped DataFrame.
 
@@ -74,6 +87,7 @@ def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
     whole-stage codegen); the heavy per-content work runs in one Arrow-batched
     ``mapInPandas``.
     """
+    df = _ensure_parallel(df)
     gammas = H.perm_gammas(cfg.num_perm, cfg.seed)
     cfg_bc = cfg  # frozen dataclass, pickles cheaply into the UDF closure
 
@@ -133,6 +147,7 @@ def explode_shingles(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
     Used by the exact-Jaccard verification path; emitted from the same
     vectorized kernels so hashes agree with the MinHash stage.
     """
+    df = _ensure_parallel(df)
     cfg_bc = cfg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

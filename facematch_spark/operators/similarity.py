@@ -108,7 +108,9 @@ def cosine_topk_bruteforce(
                 }
             )
 
-    return queries.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    from facematch_spark.operators.signatures import _ensure_parallel
+
+    return _ensure_parallel(queries.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         batches, schema="query_id long, neighbor_id long, cosine double, rank int"
     )
 
@@ -155,7 +157,9 @@ def hyperplane_sketches(
                 }
             )
 
-    return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    from facematch_spark.operators.signatures import _ensure_parallel
+
+    return _ensure_parallel(vectors.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         batches, schema="vid long, table_id int, bucket long"
     )
 

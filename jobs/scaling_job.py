@@ -1,0 +1,65 @@
+"""One end-to-end dedup run (sign → MinHash/LSH → verify-estimate →
+cluster) for the scaling-efficiency measurement. Prints one JSON line:
+{"files": N, "wall_s": T, "files_per_sec": F, "pairs": P, "cpus": C}.
+
+Usage: python jobs/scaling_job.py INPUT_PARQUET CPUS
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from facematch_spark import schema as S
+from facematch_spark.config import DedupeConfig
+from facematch_spark.operators.cluster import connected_components
+from facematch_spark.operators.lsh import candidate_pairs
+from facematch_spark.operators.signatures import sign_documents
+from facematch_spark.operators.verify import attach_signature_metrics
+from facematch_spark.session import get_spark
+
+
+def main() -> int:
+    inp, cpus = sys.argv[1], sys.argv[2]
+    cfg = DedupeConfig(jaccard_threshold=0.5)
+    spark = get_spark(
+        app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+    source = spark.read.schema(S.SOURCE_FILES).parquet(inp)
+    # warm the JVM/scan metadata so the measurement is the dataflow, not
+    # session bring-up (both parallelism levels get the same treatment)
+    n_files = source.count()
+
+    t0 = time.perf_counter()
+    sigs = sign_documents(source, cfg).localCheckpoint()
+    cands = candidate_pairs(sigs, cfg)
+    pairs = (
+        attach_signature_metrics(cands, sigs)
+        .filter(F.col("minhash_est") >= F.lit(cfg.jaccard_threshold))
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    clusters = connected_components(pairs, nodes=sigs.select("file_id"))
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    wall = time.perf_counter() - t0
+
+    print(json.dumps({
+        "files": n_files,
+        "wall_s": round(wall, 2),
+        "files_per_sec": round(n_files / wall, 2),
+        "pairs": pairs.count(),
+        "clusters": n_clusters,
+        "cpus": cpus,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from facematch_spark import schema as S

@@ -91,32 +91,48 @@ def token_shingle_hashes(tokens: list[bytes], k: int) -> np.ndarray:
 
 def minhash_signature(shingles: np.ndarray, gammas: np.ndarray) -> np.ndarray:
     """MinHash signature: for each permutation i, min over shingles of
-    ``mix64(shingle ^ g_i)``. Chunked over shingles to bound the (P, chunk)
-    temporary; returns uint64[num_perm]."""
+    ``mix64(shingle ^ g_i)``. Returns uint64[num_perm].
+
+    Blocked for cache residency, not just peak memory: a naive
+    (num_perm, n) broadcast materializes ~4 temporaries of P·n·8 bytes —
+    ~10 MB of DRAM traffic per 2.4k-shingle document, which saturates
+    memory bandwidth around 8 cores and flattens multi-core scaling (the
+    kernel is elementwise; FLOPs are nearly free). Blocking to
+    (PERM_BLOCK, SHINGLE_CHUNK) ≈ 8×4096×8 B = 256 KB keeps every
+    temporary inside L2 and restores linear core scaling."""
     num_perm = len(gammas)
     if shingles.size == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    CHUNK = 8192
-    for s in range(0, shingles.size, CHUNK):
-        chunk = shingles[s : s + CHUNK]
-        # (P, n) broadcast xor, finalize, min along shingle axis
-        h = mix64(chunk[None, :] ^ gammas[:, None])
-        np.minimum(sig, h.min(axis=1), out=sig)
+    PERM_BLOCK = 8
+    SHINGLE_CHUNK = 4096
+    for s in range(0, shingles.size, SHINGLE_CHUNK):
+        chunk = shingles[s : s + SHINGLE_CHUNK]
+        for p in range(0, num_perm, PERM_BLOCK):
+            g = gammas[p : p + PERM_BLOCK]
+            h = mix64(chunk[None, :] ^ g[:, None])
+            np.minimum(sig[p : p + PERM_BLOCK], h.min(axis=1), out=sig[p : p + PERM_BLOCK])
     return sig
 
 
 def simhash_fingerprint(shingles: np.ndarray) -> int:
     """64-bit SimHash: bit b of the fingerprint is 1 iff more than half of
-    the shingle hashes have bit b set. Returns a Python int (uint64 range)."""
+    the shingle hashes have bit b set. Returns a Python int (uint64 range).
+
+    Shingle-chunked so the (chunk, 64) bit matrix stays cache-resident
+    (same bandwidth argument as minhash_signature)."""
     if shingles.size == 0:
         return 0
-    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)
-    votes = bits.sum(axis=0, dtype=np.int64)
-    fp = np.uint64(0)
+    CHUNK = 1024
+    exps = np.arange(64, dtype=np.uint64)
+    votes = np.zeros(64, dtype=np.int64)
+    for s in range(0, shingles.size, CHUNK):
+        chunk = shingles[s : s + CHUNK]
+        bits = (chunk[:, None] >> exps[None, :]) & _U64(1)
+        votes += bits.sum(axis=0, dtype=np.int64)
     on = votes * 2 > shingles.size
     with np.errstate(over="ignore"):
-        fp = np.bitwise_or.reduce(np.where(on, _U64(1) << np.arange(64, dtype=np.uint64), _U64(0)))
+        fp = np.bitwise_or.reduce(np.where(on, _U64(1) << exps, _U64(0)))
     return int(fp)
 
 

@@ -27,11 +27,15 @@ from facematch_spark.session import get_spark
 def main() -> int:
     inp, cpus = sys.argv[1], sys.argv[2]
     cfg = DedupeConfig(jaccard_threshold=0.5)
+    # IDENTICAL plan at every parallelism level: fixed shuffle width and a
+    # fixed 64-way input repartition, so the only variable between N and 4N
+    # is executor count — exactly what a cluster scale-out varies. (Letting
+    # each level pick its own widths confounds the comparison: an 8-way
+    # shuffle has worse straggler tails than a 64-way one.)
     spark = get_spark(
-        app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(int(cpus), 8),
+        app_name=f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64
     )
-    source = spark.read.schema(S.SOURCE_FILES).parquet(inp)
+    source = spark.read.schema(S.SOURCE_FILES).parquet(inp).repartition(64)
     # warm the JVM/scan metadata so the measurement is the dataflow, not
     # session bring-up (both parallelism levels get the same treatment)
     n_files = source.count()

@@ -110,3 +110,26 @@ def test_config_hash_stability_and_sensitivity():
 
     assert DedupeConfig().config_hash == DedupeConfig().config_hash
     assert DedupeConfig().config_hash != DedupeConfig(seed=7).config_hash
+
+
+def test_token_shingles_basic():
+    toks = "the quick brown fox the quick brown fox".encode().split()
+    got = H.token_shingle_hashes(toks, 3)
+    # distinct 3-gram token windows: (the,quick,brown) (quick,brown,fox)
+    # (brown,fox,the) (fox,the,quick) → 4
+    assert got.size == 4
+    again = H.token_shingle_hashes(toks, 3)
+    assert np.array_equal(got, again)
+
+
+def test_token_vs_char_config_paths():
+    from facematch_spark.config import DedupeConfig
+    from facematch_spark.operators.signatures import shingle_hashes_for
+
+    text = "def alpha(beta):\n    return beta * gamma\n" * 3
+    ch = shingle_hashes_for(text, DedupeConfig(shingle_kind="char", k=9))
+    tk = shingle_hashes_for(
+        text, DedupeConfig(shingle_kind="token", k=3, num_perm=64, bands=16, rows_per_band=4)
+    )
+    assert ch.size > 0 and tk.size > 0
+    assert not np.array_equal(np.sort(ch)[: min(ch.size, tk.size)], np.sort(tk)[: min(ch.size, tk.size)])

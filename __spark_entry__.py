@@ -261,19 +261,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_containment"] = dedup_containment
 
     def dedup_minhash_lsh(spark, sf):
-        # scale path: MinHash → banding LSH → estimate filter. No SQL oracle
-        # (hash kernels aren't SQL-expressible); recall vs dedup_ngram_jaccard
-        # is pytest-gated ≥ 0.99 (tests/test_operators.py).
-        from facematch_spark.operators.dedup import minhash_lsh_pairs
+        # scale path with exact verification: MinHash → banding LSH
+        # candidates → exact Jaccard over the same shingle kernels →
+        # threshold. SQL-oracle-able: candidate recall is 1.0 at this
+        # corpus/config (deterministic seed; miss prob (1-j⁴)³² ≈ 6e-20 at
+        # the planted-dup Jaccard ≥ 0.92), so output equals the brute-force
+        # normalized-Jaccard join. The estimate-only variant
+        # (minhash_lsh_pairs) stays recall-gated in pytest.
+        from facematch_spark.operators.dedup import minhash_lsh_exact_pairs
 
-        return minhash_lsh_pairs(_t(spark, sf, "documents"), DOC_CFG)
+        return minhash_lsh_exact_pairs(_t(spark, sf, "documents"), DOC_CFG)
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
     def dedup_simhash(spark, sf):
-        # SimHash Hamming-ball pairs via 16-bit chunk pigeonhole join.
-        from facematch_spark.operators.dedup import simhash_pairs
+        # SimHash Hamming-ball pairs (radius 8) via pigeonhole chunk join —
+        # md5 hash family, so the WHOLE operator is SQL-reproducible and
+        # DuckDB-oracled. The xxhash-kernel variant (simhash_pairs) is the
+        # pipeline fast path, recall-gated ≥1.0-within-radius in pytest.
+        from facematch_spark.operators.dedup import simhash_md5_pairs
 
-        return simhash_pairs(_t(spark, sf, "documents"), DedupeConfig(simhash_hamming_max=8))
+        return simhash_md5_pairs(_t(spark, sf, "documents"), k=K, hamming_max=8)
     q["dedup_simhash"] = dedup_simhash
 
     # ---- text analysis suite ----
@@ -597,6 +604,73 @@ def oracle_sql() -> dict[str, str]:
         WHERE octet_length(encode(text)) > 0
     """
 
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: intentionally no SQL
-    # oracle (hash-kernel semantics); rows-only check + pytest recall gates.
+    # dedup_minhash_lsh: the Spark side generates candidates with MinHash
+    # banding (deterministic, recall 1.0 at this corpus/config — see the
+    # queries() docstring) and verifies with EXACT Jaccard over normalized
+    # char-9-gram sets, so the brute-force join below is value-equal.
+    o["dedup_minhash_lsh"] = f"""
+        WITH nd AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {K}) AS shingle
+            FROM nd, UNNEST(range(1, length(t) - {K - 2})) AS u(i)
+        ),
+        card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        jpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        FROM jpairs
+        JOIN card ca ON ca.doc_id = id_a
+        JOIN card cb ON cb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= {JT}
+    """
+
+    # dedup_simhash: md5-family SimHash is SQL-expressible end-to-end —
+    # shingle hash = first 15 md5 hex chars as a 60-bit int, per-bit ±1
+    # sums, fingerprint reassembly, brute-force Hamming ≤ 8. The Spark side
+    # computes the identical fingerprint and prunes candidates with an
+    # EXACT pigeonhole join, so outputs match bit for bit.
+    _SIM_BITS = 60
+    _sums = ",\n               ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIM_BITS)
+    )
+    _fp = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(_SIM_BITS)
+    )
+    o["dedup_simhash"] = f"""
+        WITH nd AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {K}) AS shingle
+            FROM nd, UNNEST(range(1, length(t) - {K - 2})) AS u(i)
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+            FROM sh
+        ),
+        bits AS (
+            SELECT doc_id,
+               {_sums}
+            FROM h GROUP BY doc_id
+        ),
+        fp AS (SELECT doc_id, ({_fp}) AS fp FROM bits)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 8
+    """
+
+    # ann_lsh_topk: intentionally no SQL oracle — approximate by nature
+    # (random-hyperplane LSH cannot bit-match brute force on near-uniform
+    # synthetic embeddings at any honest table budget); rows-only check +
+    # pytest top-1 recall gate (tests/test_operators.py).
     return o

@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True, help="checkpoint/output root directory")
     p.add_argument("--reset", action="store_true", help="drop existing stage tables (utils.py:77-81 analog)")
     p.add_argument("--report", action="store_true", help="write CSV report + print top/bottom edges")
+    p.add_argument("--symmetric", action="store_true",
+                   help="emit each CSV pair in both directions (utils.py:338-347 analog)")
     p.add_argument("--threshold", type=float, default=0.8, help="dedupe jaccard threshold")
     p.add_argument("--report-threshold", type=float, default=0.8)
     p.add_argument("--edges", type=int, default=10)
@@ -55,13 +57,27 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
     )
     spark = get_spark(master=args.master)
-    source = read_source_files(spark, args.input)
     store = StageStore(args.out, cfg)
-    res = run_dedupe(spark, source, cfg, store=store, reset=args.reset)
+    if args.reset:
+        store.reset()
+    # Iceberg snapshot pinning (S1): a resumed run re-reads the snapshot the
+    # original run saw; new snapshots only enter after a fresh run/--reset.
+    # On the Parquet fallback current_snapshot_id is None and reads are live.
+    meta = store.load_run_meta()
+    snap = meta.get("snapshot_id")
+    if snap is None and "/" not in args.input:
+        from facematch_spark.sources.io import current_snapshot_id
+
+        snap = current_snapshot_id(spark, args.input)
+        if snap is not None:
+            store.save_run_meta({**meta, "snapshot_id": snap})
+    source = read_source_files(spark, args.input, snapshot_id=snap)
+    res = run_dedupe(spark, source, cfg, store=store)
     summary = run_summary(res.counts, res.times, cfg)
     print(json.dumps(summary))
     if args.report:
-        write_csv_report(res.pairs, f"{args.out}/report_csv_{cfg.table_suffix()}", args.report_threshold)
+        write_csv_report(res.pairs, f"{args.out}/report_csv_{cfg.table_suffix()}",
+                         args.report_threshold, symmetric=args.symmetric)
         write_html_report(res.pairs, f"{args.out}/report_{cfg.table_suffix()}.html", cfg, summary)
         top, bottom = top_bottom_edges(res.pairs, args.edges)
         for r in top:

@@ -49,10 +49,14 @@ class DedupeConfig:
         if self.k < 1:
             raise ValueError("k must be >= 1")
         if self.bands * self.rows_per_band != self.num_perm:
-            # analog of validate_model_backend abort (__main__.py:61-71)
+            # analog of validate_model_backend abort + suggest_backend hint
+            # (__main__.py:56-71): fail fast, and tell the user a valid
+            # nearby config instead of just rejecting
             raise ValueError(
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
-                f"must equal num_perm ({self.num_perm})"
+                f"must equal num_perm ({self.num_perm}); "
+                f"valid (bands, rows_per_band) for num_perm={self.num_perm}: "
+                f"{suggest_band_configs(self.num_perm)}"
             )
         if not (0.0 <= self.jaccard_threshold <= 1.0):
             raise ValueError("jaccard_threshold must be in [0,1]")
@@ -68,3 +72,12 @@ class DedupeConfig:
 
     def table_suffix(self) -> str:
         return f"k{self.k}_p{self.num_perm}_b{self.bands}_{self.config_hash}"
+
+
+def suggest_band_configs(num_perm: int, limit: int = 5) -> list[tuple[int, int]]:
+    """Valid (bands, rows_per_band) factorizations of ``num_perm``, most
+    selective first (small rows_per_band → higher recall). The analog of the
+    reference's ``suggest_backend`` (``__main__.py:56-59``): when a config is
+    rejected, say what WOULD work."""
+    out = [(num_perm // r, r) for r in range(1, num_perm + 1) if num_perm % r == 0]
+    return out[:limit]

@@ -48,7 +48,12 @@ def connected_components(
     union-find over one collect — O(E α(E)) with zero shuffle — while bigger
     graphs take the iterative distributed path. Pass ``driver_threshold=0``
     to force the distributed algorithms (tests exercise both).
+
+    The edge relation is materialized once (eager ``localCheckpoint``) before
+    the size probe: both the probe and the chosen algorithm consume ``pairs``,
+    and without the cut the upstream candidate+verify DAG would execute twice.
     """
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
     if driver_threshold and pairs.limit(driver_threshold + 1).count() <= driver_threshold:
         labels = _driver_union_find(pairs)
     elif algorithm == "star":

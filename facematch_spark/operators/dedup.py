@@ -49,9 +49,7 @@ def char_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0))),
-            lambda i: F.substring(F.col(text_col), 1, 0).substr(i, F.lit(k))
-            if False
-            else F.col(text_col).substr(i, F.lit(k)),
+            lambda i: F.col(text_col).substr(i, F.lit(k)),
         )
     )
     return (
@@ -148,12 +146,14 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
     )
 
     # Verification tiering: when the whole shingle relation fits in a
-    # broadcast (rows bounded — ~8 bytes/shingle + ids), ship the per-doc
-    # sorted arrays once to every executor and verify candidates with zero
+    # broadcast, ship per-doc SORTED NumPy int64 arrays once to every
+    # executor (8 bytes/element + one small array object per doc — unlike
+    # Python sets at ~60 bytes/element) and verify candidates with zero
     # array shuffle (candidates travel as two longs). Past the broadcast
     # ceiling, fall back to the array equi-join (each candidate pulls both
-    # sorted arrays through the shuffle) — same results, more IO.
-    BROADCAST_SHINGLE_LIMIT = 50_000_000
+    # sorted arrays through the shuffle) — same results, more IO. The gate
+    # is sized for real driver heap: 5M rows ≈ 40 MB of array payload.
+    BROADCAST_SHINGLE_LIMIT = 5_000_000
     n_shingle_rows = sh.count()
 
     def _intersect_jaccard(x: np.ndarray, y: np.ndarray) -> float:
@@ -161,19 +161,19 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
         return inter / (x.size + y.size - inter)
 
     if n_shingle_rows <= BROADCAST_SHINGLE_LIMIT:
-        by_doc: dict[int, frozenset] = {}
-        for r in sh.groupBy("doc_id").agg(F.collect_list("sh").alias("arr")).collect():
-            by_doc[r["doc_id"]] = frozenset(r["arr"])
+        by_doc: dict[int, np.ndarray] = {}
+        for r in sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("sh")).alias("arr")).collect():
+            by_doc[r["doc_id"]] = np.asarray(r["arr"], dtype=np.int64)
         bc = docs.sparkSession.sparkContext.broadcast(by_doc)
 
         def verify_bc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lookup = bc.value
             for pdf in it:
-                jac = []
-                for ia, ib in zip(pdf["id_a"], pdf["id_b"]):
-                    sa, sb = lookup[ia], lookup[ib]
-                    inter = len(sa & sb) if len(sa) <= len(sb) else len(sb & sa)
-                    jac.append(inter / (len(sa) + len(sb) - inter))
+                n = len(pdf)
+                jac = np.empty(n, dtype=np.float64)
+                ids_a, ids_b = pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()
+                for i in range(n):
+                    jac[i] = _intersect_jaccard(lookup[ids_a[i]], lookup[ids_b[i]])
                 out = pdf.assign(jaccard=jac)
                 yield out[out["jaccard"] >= threshold]
 
@@ -221,12 +221,44 @@ def doc_signatures(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     ).withColumnRenamed("doc_id", "file_id")
 
 
+def doc_shingles(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Documents → exploded distinct shingle-hash rows ``(file_id, shingle)``
+    with ``file_id = doc_id``, using the same vectorized kernels as the
+    MinHash stage (hashes agree bit-for-bit with the signatures)."""
+    src = docs.select(F.col("doc_id").alias("file_id"), F.col("text").alias("content"))
+    return SIG.explode_shingles(src, cfg)
+
+
+def minhash_lsh_exact_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Scale-path near-dup pairs with EXACT verification: MinHash → banding
+    LSH candidates → exact Jaccard over the cfg shingle sets → threshold.
+    Returns (id_a, id_b, jaccard).
+
+    This is the production shape (candidates bounded by LSH, verification
+    exact) AND the SQL-oracle-able one: candidate generation is
+    deterministic for a given seed+corpus, and whenever its recall is 1.0
+    for pairs above the threshold (pytest-gated; holds by construction at
+    high Jaccard — at b=32, r=4 a j=0.7 pair is missed w.p. (1-j⁴)³² ≈
+    1.5e-4), the output equals the brute-force Jaccard join over the same
+    normalized text, which DuckDB can reproduce."""
+    from facematch_spark.operators.verify import exact_overlap_metrics
+
+    sigs = doc_signatures(docs, cfg)
+    cands = L.candidate_pairs(sigs, cfg)
+    sh = doc_shingles(docs, cfg)
+    m = exact_overlap_metrics(cands, sh)
+    return m.filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold)).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """Scale-path near-dup pairs: MinHash signatures → LSH bands → candidate
     join → MinHash-estimated Jaccard filter. Returns
     (id_a, id_b, minhash_est). Recall vs the exact operator is pytest-gated
     (≥0.99 at the planted-dup Jaccard level)."""
-    sigs = doc_signatures(docs, cfg)
+    # sigs feed candidate generation AND metric attachment — sign once
+    sigs = doc_signatures(docs, cfg).localCheckpoint()
     cands = L.candidate_pairs(sigs, cfg)
     from facematch_spark.operators.verify import attach_signature_metrics
 
@@ -236,67 +268,169 @@ def minhash_lsh_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """SimHash near-dup pairs: fingerprint once, candidate-generate by
-    fingerprint band (4×16-bit chunks — any pair within Hamming ≤3 of 64 bits
-    shares at least one exact 16-bit chunk by pigeonhole), then verify with
-    bit_count(xor) ≤ max. All JVM-side."""
-    sigs = doc_signatures(docs, cfg).filter(F.col("status") == "ok").select("file_id", "simhash")
-    chunks = sigs.select(
+def simhash_chunk_bounds(hamming_max: int, total_bits: int = 64) -> list[tuple[int, int]]:
+    """Bit ranges ``(lo_bit, width)`` of the pigeonhole chunks for a
+    ``total_bits``-wide fingerprint at Hamming radius ``hamming_max``:
+    splitting into ``c = hamming_max + 1`` near-equal chunks guarantees that
+    two fingerprints within Hamming ≤ hamming_max agree EXACTLY on at least
+    one chunk (≤ hamming_max differing bits cannot touch all c chunks). c is
+    floored at 4 so low radii still get selective keys."""
+    c = max(hamming_max + 1, 4)
+    bounds = [(i * total_bits) // c for i in range(c + 1)]
+    return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(c)]
+
+
+def _pigeonhole_hamming_pairs(
+    fps: DataFrame,
+    hamming_max: int,
+    total_bits: int,
+    hot_cap: int = 200,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(file_id, fp) fingerprints → (id_a, id_b, hamming ≤ hamming_max).
+    Exact (recall = 1.0 within the radius): pigeonhole chunk keys + the
+    shared size-tiered self-join (lossless — no drop tier), then
+    ``bit_count(xor)`` verification."""
+    from facematch_spark.operators.lsh import tiered_self_join
+
+    fps = fps.localCheckpoint()  # feeds chunk explode + two verify joins
+    chunks = fps.select(
         "file_id",
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk_id"),
-                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    F.shiftrightunsigned("fp", lo).bitwiseAND(F.lit((1 << w) - 1)).alias("chunk"),
                 )
-                for i in range(4)
+                for i, (lo, w) in enumerate(simhash_chunk_bounds(hamming_max, total_bits))
             ])
         ).alias("c"),
-    ).select("file_id", "simhash", "c.chunk_id", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    ).select("file_id", "c.chunk_id", "c.chunk")
+    cands = tiered_self_join(
+        chunks,
+        keys=["chunk_id", "chunk"],
+        id_col="file_id",
+        cap=hot_cap,
+        salt_buckets=salt_buckets,
+        drop_above=None,  # lossless: recall=1.0 within the Hamming radius
+    )
+    fa = fps.select(F.col("file_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col("file_id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.chunk_id") == F.col("b.chunk_id"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.file_id") < F.col("b.file_id"),
-            ],
-        )
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
         .select(
-            F.col("a.file_id").alias("id_a"),
-            F.col("b.file_id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= F.lit(cfg.simhash_hamming_max))
+        .filter(F.col("hamming") <= F.lit(hamming_max))
+    )
+
+
+def simhash_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint once (vectorized xxhash kernels),
+    candidate-generate by fingerprint chunk (``hamming_max + 1`` near-equal
+    chunks — the pigeonhole guarantee covers the FULL configured radius,
+    fixing the round-1 hole where 4 fixed chunks only guaranteed Hamming
+    ≤ 3), then verify with ``bit_count(xor) ≤ max``. Candidate groups go
+    through the shared size-tiered self-join (plain ≤ cap, salted triangle
+    above — lossless, no drop tier: the exactness guarantee forbids dropping
+    hot chunks). Recall = 1.0 within the radius is pytest-gated against the
+    brute-force Hamming twin."""
+    fps = (
+        doc_signatures(docs, cfg)
+        .filter(F.col("status") == "ok")
+        .select("file_id", F.col("simhash").alias("fp"))
+    )
+    return _pigeonhole_hamming_pairs(
+        fps, cfg.simhash_hamming_max, 64, cfg.hot_band_cap, cfg.salt_buckets
+    )
+
+
+def simhash_md5_pairs(
+    docs: DataFrame, k: int = 9, hamming_max: int = 8, n_hex: int = 15
+) -> DataFrame:
+    """SimHash near-dup pairs over an md5 hash family — every step
+    bit-for-bit SQL-reproducible, so a DuckDB oracle can verify the whole
+    operator (the kernel variant ``simhash_pairs`` is faster but its xxhash
+    fingerprints aren't SQL-expressible):
+
+      * shingle hash = first ``n_hex`` hex chars of md5(normalized char
+        k-gram) as a 4·n_hex-bit integer (``conv`` — JVM-side, matches
+        DuckDB's hex cast);
+      * per-bit ±1 sums as 4·n_hex codegen SUM aggregates in ONE groupBy —
+        no row explosion (the naive per-bit explode would be 60× rows);
+      * fingerprint = Σ (sum_b ≥ 0) << b, reassembled JVM-side;
+      * candidates + verification via the exact pigeonhole machinery.
+    """
+    from functools import reduce
+    from operator import add
+
+    n_bits = 4 * n_hex
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    nd = docs.select("doc_id", norm.alias("ntext"))
+    sh = char_shingles(nd, k, text_col="ntext")
+    h = F.conv(F.substring(F.md5("shingle"), 1, n_hex), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h.alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = reduce(
+        add,
+        [
+            F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(n_bits)
+        ],
+    )
+    fps = sums.select(F.col("doc_id").alias("file_id"), fp.alias("fp"))
+    return _pigeonhole_hamming_pairs(fps, hamming_max, n_bits).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
 
 
 def containment_pairs(docs: DataFrame, k: int = 16) -> DataFrame:
     """Substring-containment dups: doc a verbatim inside doc b (a shorter).
 
-    Candidate generation without O(N^2): a's *prefix k-gram* must appear
-    among b's k-grams if a ⊆ b — equi-join a.prefix against b's exploded
-    shingles, then verify with a built-in ``contains`` (JVM). The brute
-    cross-join is avoided; the prefix join prunes to near-linear candidates.
+    Candidate generation without O(N^2): if a ⊆ b then EVERY k-gram of a
+    appears among b's k-grams — so joining on any single gram of a is
+    lossless, and we pick a's globally RAREST gram (min corpus frequency,
+    gram-hash tiebreak). A fixed choice like the prefix gram is a skew trap:
+    a common prefix (license header, shebang line) shared by half the corpus
+    makes one join key carry O(N²) candidate rows; the rarest gram bounds
+    each probe's fan-out by that gram's corpus frequency (PPJoin's
+    frequency-ordering idea applied to containment). Grams travel as
+    xxhash64 longs — a hash collision can only ADD candidates, and the final
+    JVM ``contains`` verification is exact.
     """
-    short = docs.filter(F.length("text") >= k).select(
-        F.col("doc_id").alias("id_a"),
-        F.col("text").alias("text_a"),
-        F.substring("text", 1, k).alias("prefix"),
+    from pyspark.sql import Window as W
+
+    grams = char_shingles(docs, k).select(
+        "doc_id", F.xxhash64("shingle").alias("gram")
+    ).localCheckpoint()  # feeds corpus frequency + probe ranking + build side
+    freq = grams.groupBy("gram").agg(F.count("*").alias("freq"))
+    with_freq = grams.join(freq, "gram")
+    probe = (
+        with_freq.withColumn(
+            "rnk", F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "gram"))
+        )
+        .filter(F.col("rnk") == 1)
+        .select(F.col("doc_id").alias("id_a"), "gram")
     )
-    big = char_shingles(docs, k).withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "gram")
-    texts_b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    build = grams.select(F.col("doc_id").alias("id_b"), "gram")
     cands = (
-        short.join(big, [short.prefix == big.gram, short.id_a != big.id_b])
-        .select("id_a", "id_b", "text_a")
+        probe.join(build, [probe.gram == build.gram, probe.id_a != build.id_b])
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    texts_a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    texts_b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     return (
-        cands.join(texts_b, "id_b")
+        cands.join(texts_a, "id_a")
+        .join(texts_b, "id_b")
         .filter(
             (F.length("text_a") < F.length("text_b"))
             & F.col("text_b").contains(F.col("text_a"))

@@ -104,42 +104,80 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
 
     AQE's skew-join split remains on as a backstop for residual imbalance.
     """
-    bands_df = band_explode(signatures, cfg)
+    # materialize the band relation once: it feeds both the group-size
+    # aggregation and the self-join; without the cut the mapInPandas
+    # band-hash kernel would execute twice (round-1 profiling showed the
+    # double pass as a fixed ~2x cost on the candidate stage)
+    bands_df = band_explode(signatures, cfg).localCheckpoint()
+    return tiered_self_join(
+        bands_df,
+        keys=["band_id", "band_hash"],
+        id_col="file_id",
+        cap=cfg.hot_band_cap,
+        salt_buckets=cfg.salt_buckets,
+        drop_above=cfg.max_band_group,
+    )
 
-    group_sizes = bands_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("g"))
-    sized = bands_df.join(group_sizes, ["band_id", "band_hash"])
 
-    normal = sized.filter((F.col("g") > 1) & (F.col("g") <= cfg.hot_band_cap)).drop("g")
-    hot = sized.filter((F.col("g") > cfg.hot_band_cap) & (F.col("g") <= cfg.max_band_group)).drop("g")
+def tiered_self_join(
+    rows: DataFrame,
+    keys: list[str],
+    id_col: str,
+    cap: int,
+    salt_buckets: int,
+    drop_above: int | None = None,
+) -> DataFrame:
+    """Size-tiered self equi-join on ``keys`` → distinct canonical pairs
+    ``(id_a, id_b)`` with ``id_a < id_b``. The shared skew machinery for
+    every bucketed candidate generator (MinHash bands, SimHash chunks, ANN
+    hyperplane buckets):
+
+      * g == 1                → dropped (no pair from a singleton group);
+      * 1 < g ≤ cap           → plain self equi-join on ``keys``;
+      * cap < g (≤ drop_above)→ salted triangle join: members get bucket
+                                ``b = xxhash64(id) % s``, the left side is
+                                replicated to buckets ≥ its own, the right
+                                keeps its bucket — every unordered pair lands
+                                on exactly one reducer, no reducer sees more
+                                than (g/s)² work. LOSSLESS — same pairs as
+                                the plain join;
+      * g > drop_above        → dropped entirely (only when ``drop_above``
+                                is set; callers with an exactness guarantee —
+                                SimHash pigeonhole — pass ``None``).
+    """
+    group_sizes = rows.groupBy(*keys).agg(F.count("*").alias("g"))
+    sized = rows.join(group_sizes, keys)
+
+    normal = sized.filter((F.col("g") > 1) & (F.col("g") <= cap)).drop("g")
+    hot_cond = F.col("g") > cap
+    if drop_above is not None:
+        hot_cond = hot_cond & (F.col("g") <= drop_above)
+    hot = sized.filter(hot_cond).drop("g")
 
     a = normal.alias("a")
     b = normal.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
     normal_pairs = a.join(
-        b,
-        on=[
-            F.col("a.band_id") == F.col("b.band_id"),
-            F.col("a.band_hash") == F.col("b.band_hash"),
-            F.col("a.file_id") < F.col("b.file_id"),
-        ],
-    ).select(F.col("a.file_id").alias("id_a"), F.col("b.file_id").alias("id_b"))
+        b, on=[*on, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
 
-    s = cfg.salt_buckets
-    hot_b = hot.withColumn("bkt", F.pmod(F.xxhash64("file_id"), F.lit(s)))
+    s = salt_buckets
+    hot_b = hot.withColumn("bkt", F.pmod(F.xxhash64(id_col), F.lit(s)))
     hot_a = hot_b.withColumn("rep", F.explode(F.sequence(F.col("bkt"), F.lit(s - 1))))
     ha, hb = hot_a.alias("ha"), hot_b.alias("hb")
+    on_hot = [F.col(f"ha.{k}") == F.col(f"hb.{k}") for k in keys]
     hot_pairs = (
         ha.join(
             hb,
             on=[
-                F.col("ha.band_id") == F.col("hb.band_id"),
-                F.col("ha.band_hash") == F.col("hb.band_hash"),
+                *on_hot,
                 F.col("ha.rep") == F.col("hb.bkt"),
-                F.col("ha.file_id") != F.col("hb.file_id"),
+                F.col(f"ha.{id_col}") != F.col(f"hb.{id_col}"),
             ],
         )
         .select(
-            F.least(F.col("ha.file_id"), F.col("hb.file_id")).alias("id_a"),
-            F.greatest(F.col("ha.file_id"), F.col("hb.file_id")).alias("id_b"),
+            F.least(F.col(f"ha.{id_col}"), F.col(f"hb.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"ha.{id_col}"), F.col(f"hb.{id_col}")).alias("id_b"),
         )
     )
 

@@ -19,7 +19,6 @@ Scale notes (100 TB target):
 
 from __future__ import annotations
 
-import hashlib
 import re
 from collections.abc import Iterator
 
@@ -50,7 +49,9 @@ def shingle_hashes_for(text: str, cfg: DedupeConfig) -> np.ndarray:
     data = norm.encode("utf-8", errors="surrogatepass")
     if cfg.shingle_kind == "char":
         return H.char_shingle_hashes(data, cfg.k)
-    return H.token_shingle_hashes(norm.encode().split(), cfg.k)
+    # surrogatepass here too: a lone surrogate must not abort the whole job
+    # from inside the UDF (char path already tolerates it)
+    return H.token_shingle_hashes(data.split(), cfg.k)
 
 
 def _classify(text: str | None, cfg: DedupeConfig) -> str:
@@ -62,7 +63,13 @@ def _classify(text: str | None, cfg: DedupeConfig) -> str:
     if any(ord(c) < 9 or 13 < ord(c) < 32 for c in text[:4096]):
         return S.STATUS_NON_TEXT
     stripped = normalize_content(text) if cfg.normalize else text
-    if len(stripped) < cfg.k:
+    # unit-aware short check: k TOKENS in token mode, k chars in char mode —
+    # a doc with ≥k chars but <k tokens would otherwise produce an empty
+    # shingle set whose all-sentinel MinHash LSH-collides with every other
+    if cfg.shingle_kind == "token":
+        if len(stripped.split()) < cfg.k:
+            return S.STATUS_TOO_SHORT
+    elif len(stripped) < cfg.k:
         return S.STATUS_TOO_SHORT
     return S.STATUS_OK
 
@@ -94,7 +101,6 @@ def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n = len(pdf)
-            sha = np.empty(n, dtype=object)
             minh = np.empty(n, dtype=object)
             simh = np.zeros(n, dtype=np.int64)
             nsh = np.zeros(n, dtype=np.int32)
@@ -105,17 +111,18 @@ def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
                 text = texts[i]
                 st = _classify(text, cfg_bc)
                 status[i] = st
-                if text is None:
-                    sha[i] = hashlib.sha256(b"").hexdigest()
-                    clen[i] = 0
-                else:
-                    raw = text.encode("utf-8", errors="surrogatepass")
-                    sha[i] = hashlib.sha256(raw).hexdigest()
-                    clen[i] = len(text)
+                clen[i] = 0 if text is None else len(text)
                 if st != S.STATUS_OK:
                     minh[i] = None
                     continue
                 sh = shingle_hashes_for(text, cfg_bc)
+                if sh.size == 0:
+                    # nothing to sign (e.g. k-token doc in token mode after
+                    # normalization) — an all-sentinel signature would
+                    # LSH-collide with every other empty one
+                    status[i] = S.STATUS_TOO_SHORT
+                    minh[i] = None
+                    continue
                 nsh[i] = sh.size
                 sig = H.minhash_signature(sh, gammas)
                 minh[i] = H.to_signed(sig).tolist()
@@ -127,7 +134,7 @@ def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
                     "path": pdf["path"].to_numpy(),
                     "commit": pdf["commit"].to_numpy(),
                     "lang": pdf["lang"].to_numpy(),
-                    "sha256": sha,
+                    "sha256": pdf["sha256"].to_numpy(),
                     "minhash": minh,
                     "simhash": simh,
                     "n_shingles": nsh,
@@ -137,7 +144,14 @@ def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
             )
             yield out
 
-    with_id = df.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
+    # sha256 row invariant computed JVM-side (whole-stage codegen, frees UDF
+    # time); the UDF passes it through. Parity with hashlib over UTF-8 bytes
+    # holds for all well-formed text (pytest-checked); lone surrogates — the
+    # one divergence (JVM substitutes, hashlib surrogatepass round-trips) —
+    # are classified non-text content anyway.
+    with_id = df.withColumn("file_id", F.xxhash64("repo", "path", "commit")).withColumn(
+        "sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
     return with_id.mapInPandas(batches, schema=S.SIGNATURES)
 
 
@@ -169,5 +183,6 @@ def explode_shingles(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
             else:
                 yield pd.DataFrame({"file_id": pd.Series([], dtype="int64"), "shingle": pd.Series([], dtype="int64")})
 
-    with_id = df.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
-    return with_id.mapInPandas(batches, schema="file_id long, shingle long")
+    if "file_id" not in df.columns:
+        df = df.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
+    return df.mapInPandas(batches, schema="file_id long, shingle long")

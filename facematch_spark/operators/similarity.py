@@ -164,6 +164,19 @@ def hyperplane_sketches(
     )
 
 
+def auto_n_bits(n_vectors: int, target_bucket: int = 32, floor: int = 4) -> int:
+    """Sketch width that keeps the EXPECTED bucket population near
+    ``target_bucket``: bits = ceil(log2(N / target)). A fixed width is a
+    quadratic scale trap — at n_bits=4 there are only 16 buckets per table,
+    so same-bucket pairs grow as N²/16 no matter the corpus; scaling bits
+    with log2(N) keeps per-bucket join work bounded as the corpus grows."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def lsh_bucket_candidates(
     vectors: DataFrame,
     n_bits: int = 8,
@@ -172,37 +185,44 @@ def lsh_bucket_candidates(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hot_bucket_cap: int = 200,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """ANN candidate pairs: same sign-sketch bucket in ANY of ``n_tables``
     independent hyperplane tables. Equi-join per table on (table, bucket) —
-    the cosine analog of MinHash banding."""
+    the cosine analog of MinHash banding — through the shared size-tiered
+    self-join (hot buckets take the salted triangle join; lossless, no drop
+    tier so table-level recall is untouched)."""
+    from facematch_spark.operators.lsh import tiered_self_join
+
     allb = hyperplane_sketches(vectors, n_bits, n_tables, dim, seed, vec_col, id_col)
-    a, b = allb.alias("a"), allb.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.table_id") == F.col("b.table_id"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.vid") < F.col("b.vid"),
-            ],
-        )
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    return tiered_self_join(
+        allb,
+        keys=["table_id", "bucket"],
+        id_col="vid",
+        cap=hot_bucket_cap,
+        salt_buckets=salt_buckets,
+        drop_above=None,
     )
 
 
 def ann_topk_lsh(
     vectors: DataFrame,
     k: int,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: LSH candidates → exact cosine on candidates only →
-    per-query window top-k. Symmetric: each pair scores for both endpoints."""
-    cands = lsh_bucket_candidates(vectors, n_bits, n_tables, dim, seed)
+    per-query window top-k. Symmetric: each pair scores for both endpoints.
+    ``n_bits=None`` scales the sketch width with log2(corpus) via
+    ``auto_n_bits`` (one cheap count job) so bucket populations stay bounded
+    at any corpus size."""
+    if n_bits is None:
+        n_bits = auto_n_bits(vectors.count())
+    # materialize once: the pair relation feeds both directions of the union
+    cands = lsh_bucket_candidates(vectors, n_bits, n_tables, dim, seed).localCheckpoint()
     v = vectors.select(F.col("vec_id"), F.col("embedding"))
     both = cands.unionByName(
         cands.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

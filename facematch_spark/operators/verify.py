@@ -55,24 +55,36 @@ def exact_overlap_metrics(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """Exact Jaccard + containment for candidate pairs via shingle equi-join.
 
     ``shingles`` is the exploded ``(file_id, shingle)`` relation (distinct).
-    Only shingles belonging to some candidate id participate (semi-join
-    pushdown), so cost is proportional to candidate volume, not corpus size.
+    The intersection count is computed PER CANDIDATE PAIR: pairs pick up
+    id_a's shingles, then equi-join on ``(id_b, shingle)`` — a row survives
+    iff the shingle is in both docs, so the count per (id_a, id_b) is
+    |A ∩ B|. Cost is Σ over pairs of |A| join rows, i.e. proportional to
+    candidate volume × doc size — NOT to shingle co-occurrence. (The naive
+    shingle self-join is a skew trap: a boilerplate shingle shared by f docs
+    emits f²/2 join rows regardless of how many of those docs are candidate
+    pairs.) Only shingles of candidate ids participate (semi-join pushdown).
     """
+    # materialize both multi-consumer relations once: `pairs` feeds the id
+    # projection, the intersection join and the final output join; the
+    # semi-joined shingle relation feeds the cardinality agg and both sides
+    # of the intersection join — without the cuts the upstream candidate /
+    # explode DAGs would execute 2-3x
+    pairs = pairs.localCheckpoint()
     ids = pairs.select(F.col("id_a").alias("file_id")).union(
         pairs.select(F.col("id_b").alias("file_id"))
     ).distinct()
-    sh = shingles.join(ids, "file_id", "left_semi")
+    sh = shingles.join(ids, "file_id", "left_semi").localCheckpoint()
 
     card = sh.groupBy("file_id").agg(F.count("*").alias("n_sh"))
 
-    a = sh.alias("ja")
-    b = sh.alias("jb")
+    sh_a = sh.select(F.col("file_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("file_id").alias("id_b"), "shingle")
     inter = (
-        a.join(b, F.col("ja.shingle") == F.col("jb.shingle"))
-        .filter(F.col("ja.file_id") < F.col("jb.file_id"))
-        .groupBy(F.col("ja.file_id").alias("id_a"), F.col("jb.file_id").alias("id_b"))
+        pairs.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
-        .join(pairs, ["id_a", "id_b"], "left_semi")
     )
     ca = card.select(F.col("file_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = card.select(F.col("file_id").alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -102,6 +114,8 @@ def verify_candidates(
     (``utils.py:245-246``); the ``method`` column records which test(s)
     admitted the pair.
     """
+    # the candidate relation feeds both metric paths — materialize once
+    pairs = pairs.localCheckpoint()
     sigm = attach_signature_metrics(pairs, signatures)
     exact = exact_overlap_metrics(pairs, shingles)
     both = sigm.join(exact, ["id_a", "id_b"])

@@ -58,6 +58,7 @@ def run_dedupe(
 
     # ---- stage 1: signatures (encode analog) ----
     timer.start("sign")
+    has_new = False  # did stage 1 sign anything not in the checkpoint?
     if store is not None:
         pending = store.pending_inputs(source, spark)
         has_ckpt = store.exists("signatures")
@@ -65,6 +66,7 @@ def run_dedupe(
             # nothing new — reuse the checkpoint untouched (idempotent rerun)
             sigs = store.read(spark, "signatures", S.SIGNATURES)
         else:
+            has_new = True
             new_sigs = SIG.sign_documents(pending, cfg)
             merged = store.merge_signatures(new_sigs, spark)
             # the merge plan reads the table we are about to overwrite —
@@ -84,8 +86,13 @@ def run_dedupe(
     timer.stop()
 
     # ---- stage 2: LSH candidates + verification (dedupe analog) ----
+    # the pairs checkpoint is only valid if stage 1 signed NOTHING new:
+    # newly added files must enter candidate generation + verification, so
+    # any non-empty pending set invalidates the cached pair relation (the
+    # reference likewise re-runs dedupe over ALL encodings after an
+    # incremental encode, __main__.py:118-127)
     timer.start("dedupe")
-    if store is not None and store.exists("pairs") and not reset:
+    if store is not None and store.exists("pairs") and not reset and not has_new:
         pairs = store.read(spark, "pairs", S.PAIRS)
     else:
         cands = L.candidate_pairs(sigs, cfg)

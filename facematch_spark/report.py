@@ -14,16 +14,29 @@ from pyspark.sql import functions as F
 from facematch_spark.config import DedupeConfig
 
 
-def write_csv_report(pairs: DataFrame, out_dir: str, threshold: float) -> None:
+def write_csv_report(
+    pairs: DataFrame, out_dir: str, threshold: float, symmetric: bool = False
+) -> None:
     """Full findings CSV (csv.html analog: idx,file1,file2,similarity —
-    ``csv.html:1-2``), written distributed with a header."""
-    (
-        pairs.filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("similarity"), "method")
-        .write.mode("overwrite")
-        .option("header", True)
-        .csv(out_dir)
+    ``csv.html:1-2``), written distributed with a header.
+
+    ``symmetric=True`` emits each pair in BOTH directions — the reference's
+    ``generate_csv_report(symmetric=...)`` option (``utils.py:338-347``; its
+    HTML report collapses them back client-side, ``report.html:161-198``).
+    The default stays canonical ``id_a < id_b`` rows."""
+    base = pairs.filter(F.col("jaccard") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("similarity"), "method"
     )
+    if symmetric:
+        base = base.unionByName(
+            base.select(
+                F.col("id_b").alias("id_a"),
+                F.col("id_a").alias("id_b"),
+                "similarity",
+                "method",
+            )
+        )
+    base.write.mode("overwrite").option("header", True).csv(out_dir)
 
 
 def top_bottom_edges(pairs: DataFrame, edges: int) -> tuple[list, list]:

@@ -45,8 +45,32 @@ class StageStore:
         if os.path.isdir(self.root):
             suffix = self.cfg.table_suffix()
             for d in os.listdir(self.root):
+                full = os.path.join(self.root, d)
                 if d.endswith(suffix):
-                    shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                    shutil.rmtree(full, ignore_errors=True)
+                elif d == f"runmeta_{suffix}.json":
+                    os.unlink(full)
+
+    # ---- run metadata (snapshot pinning; S1 Iceberg idempotent resume) ----
+
+    def save_run_meta(self, meta: dict) -> None:
+        """Persist small run metadata (e.g. the pinned Iceberg snapshot_id)
+        keyed by config, so a resumed run re-reads the SAME table snapshot
+        the original run saw."""
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, f"runmeta_{self.cfg.table_suffix()}.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_run_meta(self) -> dict:
+        import json
+
+        p = os.path.join(self.root, f"runmeta_{self.cfg.table_suffix()}.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("overwrite")
@@ -107,14 +131,11 @@ class StageStore:
 
 
 def with_partition_lineage(df: DataFrame, stage: str, config_hash: str) -> DataFrame:
-    """Wrap a stage output so each task also emits one lineage row
-    ``(stage, config_hash, partition_id, rows_out, wall_ms)`` alongside its
-    data — per-partition metrics observed in situ (north rule). Returns a
-    DataFrame with the extra ``_lineage`` struct column on one synthetic row
-    per partition; callers split it off with ``split_lineage``."""
-    # Simpler, robust implementation: per-partition counts via
-    # spark_partition_id, aggregated — one extra narrow aggregation, no
-    # schema contortions.
+    """Tag each row with its physical partition id (``spark_partition_id``)
+    so ``split_lineage`` can aggregate per-partition row counts into lineage
+    rows ``(stage, config_hash, partition_id, rows_out, ...)`` — partition
+    metrics observed where the work happened (north rule), at the cost of
+    one narrow aggregation."""
     return df.withColumn("_pid", F.spark_partition_id())
 
 

@@ -25,13 +25,38 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_source_files(spark: SparkSession, location: str) -> DataFrame:
+def read_source_files(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
     """Read the input relation. ``location`` is either an Iceberg table name
     (``catalog.db.table``) or a Parquet path. Schema is enforced, never
-    inferred; Catalyst pushes lang/path predicates into the scan."""
+    inferred; Catalyst pushes lang/path predicates into the scan.
+
+    ``snapshot_id`` pins an Iceberg snapshot (time-travel read) so a resumed
+    run re-scans EXACTLY the rows the original run saw — rows appended
+    between the original run and the resume cannot slip past the
+    already-signed anti-join with a partial view. Resolve the current id
+    once at run start with ``current_snapshot_id`` and store it with the
+    checkpoint. On the Parquet fallback there is no snapshot isolation;
+    resume correctness then rests on the file_id anti-join alone
+    (documented degradation)."""
     if "/" not in location and iceberg_available(spark):
-        return spark.read.format("iceberg").load(location)
+        r = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", str(snapshot_id))
+        return r.load(location)
     return spark.read.schema(S.SOURCE_FILES).parquet(location)
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    """Current Iceberg snapshot id via the metadata table (SQL-only — no JVM
+    reflection), or None on the Parquet fallback."""
+    if not iceberg_available(spark):
+        return None
+    row = spark.sql(
+        f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+    ).collect()
+    return row[0][0] if row else None
 
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

@@ -95,10 +95,23 @@ def test_cli_end_to_end(tmp_path_factory):
     out = str(root / "out")
     res = subprocess.run(
         [sys.executable, "-m", "facematch_spark.cli", inp, "--out", out,
-         "--threshold", "0.5", "--report", "--master", "local[2]"],
+         "--threshold", "0.5", "--report", "--symmetric", "--master", "local[2]"],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
     )
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][0])
     assert summary["files"] == len(pdf)
     assert summary["findings"] >= 1
+
+    # --symmetric (utils.py:338-347 analog): every pair appears both ways
+    import csv
+    import glob
+
+    csv_dir = glob.glob(f"{out}/report_csv_*")
+    assert csv_dir, "CSV report dir missing"
+    seen = set()
+    for part in glob.glob(f"{csv_dir[0]}/*.csv"):
+        with open(part) as fh:
+            for row in csv.DictReader(fh):
+                seen.add((row["id_a"], row["id_b"]))
+    assert seen and all((b, a) in seen for a, b in seen)

@@ -1,0 +1,176 @@
+"""Round-2 regression tests: the defects the round-1 verdict/advice called
+out, each pinned by a test.
+
+  * SimHash pigeonhole must cover the FULL configured Hamming radius
+    (round 1 shipped 4 fixed chunks = guarantee only ≤ 3 at a query max of 8);
+  * incremental resume must push NEW files through candidate generation
+    (round 1 reused the stale pairs checkpoint → silent wrong output);
+  * salted-tier joins on the SimHash / ANN bucket paths must be lossless;
+  * sha256 computed JVM-side must match hashlib over UTF-8 bytes;
+  * token-mode short docs must be classified too_short, not signed with
+    all-sentinel signatures that LSH-collide with each other.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from facematch_spark import schema as S
+from facematch_spark.config import DedupeConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint()
+
+
+def _brute_hamming_pairs(fps: dict[int, int], hmax: int) -> set[tuple[int, int]]:
+    ids = sorted(fps)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(fps[a] ^ fps[b]).count("1") <= hmax:
+                out.add((a, b))
+    return out
+
+
+def test_simhash_full_radius_recall(spark, docs):
+    """simhash_pairs at hamming_max=8 must equal the brute-force Hamming
+    filter over the SAME fingerprints — set equality, i.e. recall = 1.0
+    across the whole radius (the round-1 pigeonhole hole missed pairs at
+    Hamming 4-8 whose differing bits spread across all 4 fixed chunks)."""
+    from facematch_spark.operators.dedup import doc_signatures, simhash_pairs
+
+    cfg = DedupeConfig(simhash_hamming_max=8)
+    sigs = doc_signatures(docs, cfg).filter(F.col("status") == "ok")
+    fps = {r.file_id: r.simhash & ((1 << 64) - 1) for r in sigs.select("file_id", "simhash").collect()}
+    expected = _brute_hamming_pairs(fps, 8)
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(docs, cfg).collect()}
+    assert got == expected
+    assert expected, "fixture must contain near-dup pairs within Hamming 8"
+
+
+def test_simhash_salted_tier_lossless(spark, docs):
+    """Forcing every chunk group through the salted triangle join
+    (hot_band_cap=2) must not change the pair set."""
+    from facematch_spark.operators.dedup import simhash_pairs
+
+    plain = simhash_pairs(docs, DedupeConfig(simhash_hamming_max=8, hot_band_cap=100_000))
+    salted = simhash_pairs(docs, DedupeConfig(simhash_hamming_max=8, hot_band_cap=2, salt_buckets=4))
+    a = {(r.id_a, r.id_b) for r in plain.collect()}
+    b = {(r.id_a, r.id_b) for r in salted.collect()}
+    assert a == b and a
+
+
+def test_ann_bucket_salted_tier_lossless(spark):
+    """Same for the ANN hyperplane-bucket path."""
+    from facematch_spark.operators.similarity import lsh_bucket_candidates
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint()
+    plain = lsh_bucket_candidates(emb, n_bits=4, n_tables=2, hot_bucket_cap=100_000)
+    salted = lsh_bucket_candidates(emb, n_bits=4, n_tables=2, hot_bucket_cap=2, salt_buckets=4)
+    a = {(r.id_a, r.id_b) for r in plain.collect()}
+    b = {(r.id_a, r.id_b) for r in salted.collect()}
+    assert a == b and a
+
+
+def test_auto_n_bits_scales_with_corpus():
+    from facematch_spark.operators.similarity import auto_n_bits
+
+    assert auto_n_bits(10) == 4          # floor
+    assert auto_n_bits(1_000) == 5       # ceil(log2(1000/32))
+    assert auto_n_bits(1_000_000) == 15
+    assert auto_n_bits(4_000_000) > auto_n_bits(1_000_000)
+
+
+def test_incremental_new_files_enter_pairs(spark, tmp_path_factory):
+    """ADVICE-high regression: after an incremental run adds files, the
+    pairs checkpoint must be recomputed so the new files can pair with old
+    ones (round 1 reused the stale checkpoint and labeled new files as
+    singleton clusters)."""
+    from facematch_spark.fixtures import corpus_to_pandas, generate_corpus
+    from facematch_spark.plans.pipeline import run_dedupe
+    from facematch_spark.sources.checkpoint import StageStore
+
+    cfg = DedupeConfig(jaccard_threshold=0.5)
+    corpus = generate_corpus(n_base=20, seed=13, edge_rows=False)
+    base = spark.createDataFrame(corpus_to_pandas(corpus), schema=S.SOURCE_FILES).localCheckpoint()
+    store = StageStore(str(tmp_path_factory.mktemp("ckpt_r2")), cfg)
+    run_dedupe(spark, base, cfg, store=store)
+
+    # add exact copies of 2 existing files under new paths — each MUST pair
+    # with its original (jaccard 1.0) once it enters candidate generation
+    extra = base.limit(2).select(
+        "repo", F.concat("path", F.lit(".copy")).alias("path"), "commit", "lang", "content"
+    )
+    widened = base.unionByName(extra).localCheckpoint()
+    second = run_dedupe(spark, widened, cfg, store=store)
+
+    new_ids = {
+        r.file_id
+        for r in widened.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
+        .filter(F.col("path").endswith(".copy"))
+        .select("file_id")
+        .collect()
+    }
+    touched = second.pairs.filter(
+        F.col("id_a").isin(list(new_ids)) | F.col("id_b").isin(list(new_ids))
+    ).count()
+    assert touched >= 2, "new files never entered candidate generation"
+    # and their clusters must be non-singleton
+    labels = {r.file_id: r.cluster_id for r in second.clusters.collect()}
+    for nid in new_ids:
+        assert labels[nid] != nid or list(labels.values()).count(labels[nid]) > 1
+
+
+def test_sha256_jvm_matches_hashlib(spark):
+    """sha256 is now computed JVM-side (F.sha2); must equal hashlib over
+    UTF-8 bytes, including multibyte text."""
+    from facematch_spark.operators.signatures import sign_documents
+
+    rows = [
+        ("r", "a.py", "c" * 40, "py", "plain ascii content " * 5),
+        ("r", "b.py", "c" * 40, "py", "unicode éß中文 emoji \U0001f600 " * 3),
+        ("r", "c.py", "c" * 40, "py", ""),
+    ]
+    df = spark.createDataFrame(rows, schema=S.SOURCE_FILES)
+    got = {r.path: r.sha256 for r in sign_documents(df, DedupeConfig()).collect()}
+    for _, path, _, _, content in rows:
+        assert got[path] == hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+
+def test_token_mode_short_doc_too_short(spark):
+    """A doc with ≥k chars but <k tokens in token mode must be too_short —
+    not signed (an empty shingle set would LSH-collide with every other)."""
+    from facematch_spark.operators.signatures import sign_documents
+
+    cfg = DedupeConfig(shingle_kind="token", k=5)
+    rows = [
+        ("r", "short.py", "c" * 40, "py", "threewordsonly word tok"),
+        ("r", "long.py", "c" * 40, "py", "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, schema=S.SOURCE_FILES)
+    st = {r.path: r.status for r in sign_documents(df, cfg).collect()}
+    assert st["short.py"] == S.STATUS_TOO_SHORT
+    assert st["long.py"] == S.STATUS_OK
+
+
+def test_md5_simhash_pairs_sane(spark, docs):
+    """simhash_md5_pairs: exact dups must appear at hamming 0; output is
+    canonical and within radius. (Value-level equality vs the brute-force
+    SQL twin is covered by the DuckDB oracle gate.)"""
+    from facematch_spark.operators.dedup import simhash_md5_pairs
+
+    two = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text", "lang", "source", "n_chars").union(
+        docs.limit(1).select(F.lit(900002).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    pairs = simhash_md5_pairs(docs.unionByName(two), k=9, hamming_max=8)
+    rows = pairs.collect()
+    assert all(r.id_a < r.id_b and r.hamming <= 8 for r in rows)
+    hit = [r for r in rows if (r.id_a, r.id_b) == (900001, 900002)]
+    assert len(hit) == 1 and hit[0].hamming == 0

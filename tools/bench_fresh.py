@@ -1,0 +1,57 @@
+"""Fresh-JVM per-query bench: each query runs in its own subprocess (cold
+JVM, no shared broadcast/cache), reproducing the driver's measurement
+conditions as closely as possible — round 1 recorded a 12× discrepancy
+between the builder's warm-session numbers and the driver's run for
+dedup_minhash_lsh; this script is the apples-to-apples check.
+
+Usage: python tools/bench_fresh.py [sf_dir] [query ...]
+Prints one JSON line: {"queries": {name: sec}, "mode": "fresh_jvm", ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as E
+from facematch_spark.session import get_spark
+spark = get_spark(app_name="bench_fresh", master="local[{cpus}]", shuffle_partitions={cpus})
+fn = E.queries()[{name!r}]
+t0 = time.perf_counter()
+fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+print(json.dumps({{"sec": round(time.perf_counter() - t0, 3)}}))
+spark.stop()
+"""
+
+DEFAULT_QUERIES = [
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_simhash", "dedup_containment", "ann_lsh_topk", "dedup_exact_groups",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    times: dict[str, float] = {}
+    for name in names:
+        code = _CHILD.format(repo=REPO, cpus=cpus, name=name, sf_dir=sf_dir)
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=1200, cwd=REPO)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        times[name] = json.loads(lines[-1])["sec"] if lines else None
+        print(f"  {name}: {times[name]}", file=sys.stderr)
+    print(json.dumps({"queries": times, "mode": "fresh_jvm", "sf_dir": sf_dir, "cpus": cpus}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

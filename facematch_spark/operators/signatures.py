@@ -32,6 +32,8 @@ from facematch_spark.config import DedupeConfig
 from facematch_spark.functions import hashing as H
 
 _WS_RE = re.compile(r"\s+")
+# control chars outside \t\n\r ⇒ binary junk escaped into the string
+_CTRL_RE = re.compile(r"[\x00-\x08\x0E-\x1F]")
 
 
 def normalize_content(text: str) -> str:
@@ -59,8 +61,7 @@ def _classify(text: str | None, cfg: DedupeConfig) -> str:
         return S.STATUS_EMPTY
     if len(text) > cfg.max_content_bytes:
         return S.STATUS_TOO_LARGE
-    # control chars (outside \t\n\r) ⇒ binary junk escaped into the string
-    if any(ord(c) < 9 or 13 < ord(c) < 32 for c in text[:4096]):
+    if _CTRL_RE.search(text[:4096]) is not None:
         return S.STATUS_NON_TEXT
     stripped = normalize_content(text) if cfg.normalize else text
     # unit-aware short check: k TOKENS in token mode, k chars in char mode —
@@ -112,8 +113,8 @@ def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
                 st = _classify(text, cfg_bc)
                 status[i] = st
                 clen[i] = 0 if text is None else len(text)
+                minh[i] = None
                 if st != S.STATUS_OK:
-                    minh[i] = None
                     continue
                 sh = shingle_hashes_for(text, cfg_bc)
                 if sh.size == 0:
@@ -121,7 +122,6 @@ def sign_documents(df: DataFrame, cfg: DedupeConfig) -> DataFrame:
                     # normalization) — an all-sentinel signature would
                     # LSH-collide with every other empty one
                     status[i] = S.STATUS_TOO_SHORT
-                    minh[i] = None
                     continue
                 nsh[i] = sh.size
                 sig = H.minhash_signature(sh, gammas)

@@ -29,10 +29,16 @@ from facematch_spark.config import DedupeConfig
 
 
 def attach_signature_metrics(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
-    """(id_a, id_b) + signatures → + minhash_est + hamming. JVM-only."""
+    """(id_a, id_b) + signatures → + minhash_est + hamming. JVM-only.
+
+    Both joins are hinted SHUFFLE_HASH: the joined rows carry the num_perm-
+    long minhash arrays (~1 KB/row), and a sort-merge join would SORT the
+    candidate side with those arrays attached — a multi-GB spill at 10M+
+    candidates. Hash join builds on the (much smaller) signature relation
+    and streams the candidates through unsorted."""
     sig = signatures.select("file_id", "minhash", "simhash")
-    a = sig.alias("sa")
-    b = sig.alias("sb")
+    a = sig.alias("sa").hint("shuffle_hash")
+    b = sig.alias("sb").hint("shuffle_hash")
     joined = (
         pairs.join(a, pairs.id_a == F.col("sa.file_id"))
         .join(b, pairs.id_b == F.col("sb.file_id"))

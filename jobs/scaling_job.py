@@ -8,6 +8,7 @@ Usage: python jobs/scaling_job.py INPUT_PARQUET CPUS
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,8 +33,19 @@ def main() -> int:
     # is executor count — exactly what a cluster scale-out varies. (Letting
     # each level pick its own widths confounds the comparison: an 8-way
     # shuffle has worse straggler tails than a 64-way one.)
+    # 48g heap: the 870k-file corpus needs more than the 16g default (the
+    # band relation + signature checkpoint live in block-manager memory);
+    # identical at both parallelism levels, mirroring a real cluster where
+    # total memory scales with executor count. network.timeout 300s rides
+    # out full-GC pauses that would otherwise kill the local heartbeat.
     spark = get_spark(
-        app_name=f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64
+        app_name=f"scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+            "spark.network.timeout": "300s",
+        },
     )
     source = spark.read.schema(S.SOURCE_FILES).parquet(inp).repartition(64)
     # warm the JVM/scan metadata so the measurement is the dataflow, not

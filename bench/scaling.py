@@ -23,8 +23,8 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORPUS = os.environ.get("SCALING_CORPUS", "/tmp/fm_scaling_corpus600k.parquet")
-N_BASE = int(os.environ.get("SCALING_N_BASE", "600000"))
+CORPUS = os.environ.get("SCALING_CORPUS", "/tmp/fm_scaling_corpus240k.parquet")
+N_BASE = int(os.environ.get("SCALING_N_BASE", "240000"))
 
 
 def ensure_corpus() -> None:
@@ -40,14 +40,36 @@ def ensure_corpus() -> None:
     )
 
 
+# N=2 → 4N=8 by default: the driver brief allows any (N, 4N) core pair, and
+# this time-shared VM cannot SUSTAIN 32 busy cores (measured: the pure-
+# Python busy-loop ceiling for 8→32 collapsed to 0.69 during one round-2
+# window, and a local[32] run was absolutely SLOWER than local[8] in that
+# window). At 2→8 demanded cores the host has real 4× headroom, so the
+# measurement reflects the dataflow, not host oversubscription. The corpus
+# is sized so parallel work ≫ fixed job overhead at these widths
+# (W ≈ 2.1 CPU·ms/file ⇒ ~730 CPU·s vs ~27 s fixed).
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
-N_LO = int(os.environ.get("SCALING_N", "8"))
+N_LO = int(os.environ.get("SCALING_N", "2"))
 N_HI = 4 * N_LO
 
 
+# First CPU id used for pinning. CPUs 0-2 on this VM are consumed by host
+# IRQs/system tenants (a per-CPU scan measured cpu0/cpu1 ~300× slower than
+# cpu4-11) — pinning a run onto them measures the neighbors, not the job.
+CPU_OFFSET = int(os.environ.get("SCALING_CPU_OFFSET", "3"))
+
+
 def run_job_once(cpus: int) -> dict:
+    # taskset pins the WHOLE process tree (JVM + Python workers) to exactly
+    # `cpus` healthy CPUs. local[N] alone only bounds task slots — the JVM's
+    # GC, netty, shuffle and parquet-decode threads spill onto extra cores,
+    # so an unpinned local[2] run consumes ~4-5 cores and fakes a high
+    # baseline (measured: unpinned 2→8 efficiency 0.37 under a 0.95 machine
+    # ceiling). Pinning makes "N cores" mean N cores, like an executor's
+    # cgroup does.
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "jobs", "scaling_job.py"), CORPUS, str(cpus)],
+        ["taskset", "-c", f"{CPU_OFFSET}-{CPU_OFFSET + cpus - 1}",
+         sys.executable, os.path.join(REPO, "jobs", "scaling_job.py"), CORPUS, str(cpus)],
         capture_output=True, text=True, timeout=3000, cwd=REPO,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -56,9 +78,11 @@ def run_job_once(cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
-def _burn(_):
+def _burn(cpu):
+    import os as _os
     import time as _t
 
+    _os.sched_setaffinity(0, {cpu})  # same healthy CPUs as the job runs
     t0 = _t.perf_counter()
     x = 0
     while _t.perf_counter() - t0 < 2.0:
@@ -78,7 +102,7 @@ def cpu_ceiling() -> float:
     totals = {}
     for n in (N_LO, N_HI):
         with mp.Pool(n) as p:
-            totals[n] = sum(p.map(_burn, range(n)))
+            totals[n] = sum(p.map(_burn, range(CPU_OFFSET, CPU_OFFSET + n)))
     return (totals[N_HI] / totals[N_LO]) / (N_HI / N_LO)
 
 

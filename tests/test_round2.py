@@ -160,6 +160,36 @@ def test_token_mode_short_doc_too_short(spark):
     assert st["long.py"] == S.STATUS_OK
 
 
+def test_containment_rarest_gram_bounds_skew(spark):
+    """Skew fixture: half the corpus shares a 40-char license prefix — the
+    round-1 prefix-gram key would send N/2 docs to ONE join key (O(N²) rows).
+    The rarest-gram probe must (a) still find the planted containment pair
+    (lossless) and (b) keep the candidate relation near-linear."""
+    from facematch_spark.operators.dedup import containment_pairs
+
+    header = "// Licensed under the Apache License version two point zero "
+    rows = []
+    for i in range(200):
+        body = f"unique body {i} " + " ".join(f"tok{i}_{j}" for j in range(30))
+        text = (header + body) if i % 2 == 0 else body
+        rows.append((i, text, "en", "syn", len(text)))
+    # planted: doc 900 verbatim inside doc 901
+    inner = "needle content that is long enough to shingle " * 2
+    rows.append((900, inner, "en", "syn", len(inner)))
+    rows.append((901, "prefix padding " + inner + " suffix padding", "en", "syn", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    pairs = containment_pairs(docs, k=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (900, 901) in got
+    # shared-header docs must not all pair with each other: candidates are
+    # keyed on each doc's RAREST gram, which for these docs is in the unique
+    # body, so cross-header false candidates stay near zero
+    header_ids = {i for i in range(200) if i % 2 == 0}
+    bogus = [p for p in got if p[0] in header_ids and p[1] in header_ids]
+    assert len(bogus) == 0
+
+
 def test_md5_simhash_pairs_sane(spark, docs):
     """simhash_md5_pairs: exact dups must appear at hamming 0; output is
     canonical and within radius. (Value-level equality vs the brute-force

@@ -326,6 +326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_topk_lsh(_t(spark, sf, "embeddings"), k=3, n_bits=4, n_tables=8)
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf):
+        # IVF coarse-quantizer ANN (inverted lists + n_probe) — the second
+        # scale path; approximate, so no SQL oracle; recall pytest-gated.
+        from facematch_spark.operators.similarity import ann_topk_ivf
+
+        return ann_topk_ivf(_t(spark, sf, "embeddings"), k=3, n_lists=8, n_probe=4)
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     # ---- multimodal plumbing ----
 
     def multimodal_meta(spark, sf):

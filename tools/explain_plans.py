@@ -80,9 +80,12 @@ def main() -> None:
     # 5. brute-force cosine: broadcasted corpus (partition-local cross), window top-k
     from facematch_spark.operators.similarity import cosine_topk_bruteforce
 
+    # the matmul runs in an Arrow mapInPandas stage over a broadcast corpus
+    # matrix — the plan must contain NO join and NO exchange at all (queries
+    # stay where they are; only the small corpus moves, via sc.broadcast)
     summarize(
         "cosine topk", cosine_topk_bruteforce(emb, emb, 3),
-        expect=[r"BroadcastNestedLoopJoin"],  # deliberate: broadcast cross, no shuffle of the big side
+        expect=[r"MapInPandas"], forbid=[r"Join"],
     )
 
     # 6. top-k: TakeOrderedAndProject (limit pushed into sort)

@@ -4,12 +4,14 @@ at local[8] vs local[32]).
 
 Measures the end-to-end dedup dataflow (sign → MinHash/LSH →
 verify-estimate → cluster, jobs/scaling_job.py) over a deterministic
-~870k-file source-code corpus (FIXTURES.md generator, n_base=600000) — round
+~348k-file source-code corpus (FIXTURES.md generator, n_base=240000) — round
 1 used 87k files and measured the sandbox's fixed job overhead instead of
-the dataflow (compute was ~1/3 of wall at local[8]); at 10× the compute
-dominates, which is what an N→4N executor comparison measures on a real
-cluster. Each level runs in a fresh subprocess (cold JVM, no shared cache).
-Writes BENCH/BASELINE.md.
+the dataflow (compute was ~1/3 of wall); this corpus puts ~730 CPU·s of
+parallel work against ~27 s of fixed overhead, which is what an N→4N
+executor comparison measures on a real cluster. Each level runs in a fresh
+subprocess (cold JVM, no shared cache), taskset-pinned to exactly N healthy
+CPUs. Writes BENCH/BASELINE.md; see its appendix for the measurement
+history and the host pathologies that shaped this protocol.
 
 Usage: python bench/scaling.py [sf_dir_for_per_query_table]
 """
@@ -53,10 +55,10 @@ N_LO = int(os.environ.get("SCALING_N", "2"))
 N_HI = 4 * N_LO
 
 
-# First CPU id used for pinning. CPUs 0-2 on this VM are consumed by host
+# First CPU id used for pinning. CPUs 0-3 on this VM are consumed by host
 # IRQs/system tenants (a per-CPU scan measured cpu0/cpu1 ~300× slower than
 # cpu4-11) — pinning a run onto them measures the neighbors, not the job.
-CPU_OFFSET = int(os.environ.get("SCALING_CPU_OFFSET", "3"))
+CPU_OFFSET = int(os.environ.get("SCALING_CPU_OFFSET", "4"))
 
 
 def run_job_once(cpus: int) -> dict:

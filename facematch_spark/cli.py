@@ -60,19 +60,27 @@ def main(argv: list[str] | None = None) -> int:
     store = StageStore(args.out, cfg)
     if args.reset:
         store.reset()
-    # Iceberg snapshot pinning (S1): a resumed run re-reads the snapshot the
-    # original run saw; new snapshots only enter after a fresh run/--reset.
+    # Iceberg snapshot pinning (S1): a run whose predecessor COMPLETED pins
+    # the CURRENT table head, so rows appended since then enter through the
+    # incremental anti-join; only a resume of an INCOMPLETE run reuses the
+    # stored pin (it must re-scan exactly what the interrupted run saw — a
+    # moving view would let appended rows slip past the already-signed
+    # anti-join). A never-expiring pin would freeze the input forever.
     # On the Parquet fallback current_snapshot_id is None and reads are live.
     meta = store.load_run_meta()
     snap = meta.get("snapshot_id")
-    if snap is None and "/" not in args.input:
+    if "/" not in args.input:
         from facematch_spark.sources.io import current_snapshot_id
 
-        snap = current_snapshot_id(spark, args.input)
+        if snap is None or meta.get("run_complete", True):
+            snap = current_snapshot_id(spark, args.input)
         if snap is not None:
-            store.save_run_meta({**meta, "snapshot_id": snap})
+            meta = {**meta, "snapshot_id": snap, "run_complete": False}
+            store.save_run_meta(meta)
     source = read_source_files(spark, args.input, snapshot_id=snap)
     res = run_dedupe(spark, source, cfg, store=store)
+    if snap is not None:
+        store.save_run_meta({**meta, "run_complete": True})
     summary = run_summary(res.counts, res.times, cfg)
     print(json.dumps(summary))
     if args.report:

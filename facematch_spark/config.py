@@ -66,8 +66,22 @@ class DedupeConfig:
     @property
     def config_hash(self) -> str:
         """Stable 12-hex-char key for checkpoint table naming (the analog of
-        the reference's config-suffixed file names, utils.py:56-59)."""
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        the reference's config-suffixed file names, utils.py:56-59).
+
+        ``kernel_version`` is folded in alongside the user-visible fields:
+        the hash functions behind MinHash/SimHash signatures are part of the
+        config's identity. Without it, changing the signature kernel (as
+        round 2 did, xor-mix64 → u32 multiply-add) leaves old checkpoints
+        keyed identically, and an incremental resume silently merges
+        old-family and new-family signatures — cross-boundary minhash
+        estimates compare unrelated hash families and near-dup pairs across
+        the boundary vanish. Bump ``functions.hashing.KERNEL_VERSION``
+        whenever any signature kernel changes observable output."""
+        from facematch_spark.functions.hashing import KERNEL_VERSION
+
+        payload = json.dumps(
+            {**asdict(self), "kernel_version": KERNEL_VERSION}, sort_keys=True
+        ).encode()
         return hashlib.sha256(payload).hexdigest()[:12]
 
     def table_suffix(self) -> str:

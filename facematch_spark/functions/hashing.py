@@ -25,6 +25,14 @@ import hashlib
 
 import numpy as np
 
+# Identity of the signature-kernel family, folded into
+# DedupeConfig.config_hash so checkpoints written by a different kernel
+# generation key to a different table_suffix and get recomputed instead of
+# silently merged on incremental resume. Bump on ANY change that alters the
+# observable output of shingle/minhash/simhash/band kernels (round 2's
+# xor-mix64 → u32 multiply-add switch is the motivating incident).
+KERNEL_VERSION = 2
+
 _U64 = np.uint64
 # polynomial base for the rolling k-gram hash (odd, large → good diffusion
 # after the splitmix finalizer)

@@ -58,8 +58,30 @@ def char_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
-    """Exact char-k-gram Jaccard pairs ≥ threshold, via a prefix-filtered
+def token_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct k-TOKEN shingles (tokens = maximal
+    non-whitespace runs, shingle = k consecutive tokens joined by one space)
+    — same all-built-in shape as ``char_shingles``: split → filter →
+    transform(concat_ws(slice)) → array_distinct → explode."""
+    from facematch_spark.operators.signatures import _ensure_parallel
+
+    docs = _ensure_parallel(docs)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(k))),
+        )
+    )
+    return d.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int, threshold: float, shingle_kind: str = "char"
+) -> DataFrame:
+    """Exact k-gram Jaccard pairs ≥ threshold — char k-grams by default,
+    k-token shingles with ``shingle_kind="token"`` — via a prefix-filtered
     set-similarity join (PPJoin-style; Xiao et al., WWW'08 — public
     algorithm):
 
@@ -87,11 +109,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int, threshold: float) -> DataFrame:
     import pandas as pd
     from pyspark.sql import Window as W
 
+    shingler = {"char": char_shingles, "token": token_shingles}[shingle_kind]
     # materialize once: the shingle relation feeds five consumers (freq,
     # rank, cardinality, broadcast collect, fallback arrays) — without a
     # checkpoint each one would re-run the explode+hash lineage
     sh = (
-        char_shingles(docs, k)
+        shingler(docs, k)
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
         .localCheckpoint()
     )
@@ -268,16 +291,59 @@ def minhash_lsh_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def simhash_chunk_bounds(hamming_max: int, total_bits: int = 64) -> list[tuple[int, int]]:
+def simhash_chunk_bounds(
+    hamming_max: int, total_bits: int = 64, n_chunks: int | None = None
+) -> list[tuple[int, int]]:
     """Bit ranges ``(lo_bit, width)`` of the pigeonhole chunks for a
     ``total_bits``-wide fingerprint at Hamming radius ``hamming_max``:
-    splitting into ``c = hamming_max + 1`` near-equal chunks guarantees that
-    two fingerprints within Hamming ≤ hamming_max agree EXACTLY on at least
-    one chunk (≤ hamming_max differing bits cannot touch all c chunks). c is
-    floored at 4 so low radii still get selective keys."""
-    c = max(hamming_max + 1, 4)
+    splitting into ``c > hamming_max`` near-equal chunks guarantees that two
+    fingerprints within Hamming ≤ hamming_max agree EXACTLY on at least
+    ``c - hamming_max`` chunks (≤ hamming_max differing bits cannot touch
+    more than hamming_max chunks). Default c is ``hamming_max + 2`` at radius
+    ≥ 4 (so keys combine m = 2 chunks — Manku et al., WWW'07) and floored at
+    4 so low radii still get selective keys."""
+    if n_chunks is None:
+        c = max(hamming_max + (2 if hamming_max >= 4 else 1), 4)
+    else:
+        if n_chunks <= hamming_max:
+            raise ValueError(f"n_chunks={n_chunks} must exceed hamming_max={hamming_max}")
+        c = n_chunks
     bounds = [(i * total_bits) // c for i in range(c + 1)]
     return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(c)]
+
+
+def pigeonhole_chunk_keys(
+    fps: DataFrame, hamming_max: int, total_bits: int, n_chunks: int | None = None
+) -> DataFrame:
+    """(file_id, fp) → (file_id, chunk_id, chunk): one row per m-combination
+    of pigeonhole chunks, where m = c - hamming_max and ``chunk`` packs the
+    combination's chunk values into one long. Fingerprints within the Hamming
+    radius share at least one full (chunk_id, chunk) key — the multi-chunk
+    pigeonhole guarantee this module's candidate generators build on."""
+    from itertools import combinations
+
+    bounds = simhash_chunk_bounds(hamming_max, total_bits, n_chunks)
+    c = len(bounds)
+    m = c - hamming_max
+    chunk_exprs = [
+        F.shiftrightunsigned("fp", lo).bitwiseAND(F.lit((1 << w) - 1)) for lo, w in bounds
+    ]
+    widths = [w for _, w in bounds]
+    combo_keys = []
+    for combo_id, combo in enumerate(combinations(range(c), m)):
+        key, shift = F.lit(0).cast("long"), 0
+        for i in combo:
+            key = key.bitwiseOR(F.shiftleft(chunk_exprs[i], shift))
+            shift += widths[i]
+        # disjoint bit-ranges of one ≤64-bit fp: the combined key always
+        # fits a long (sign bit reuse is fine — keys only face equality)
+        assert shift <= total_bits <= 64
+        combo_keys.append(
+            F.struct(F.lit(combo_id).alias("chunk_id"), key.alias("chunk"))
+        )
+    return fps.select(
+        "file_id", F.explode(F.array(*combo_keys)).alias("c")
+    ).select("file_id", "c.chunk_id", "c.chunk")
 
 
 def _pigeonhole_hamming_pairs(
@@ -286,26 +352,24 @@ def _pigeonhole_hamming_pairs(
     total_bits: int,
     hot_cap: int = 200,
     salt_buckets: int = 16,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """(file_id, fp) fingerprints → (id_a, id_b, hamming ≤ hamming_max).
-    Exact (recall = 1.0 within the radius): pigeonhole chunk keys + the
-    shared size-tiered self-join (lossless — no drop tier), then
+    Exact (recall = 1.0 within the radius) via MULTI-CHUNK pigeonhole keys
+    (Manku, Jain, Sarma, WWW'07 §3): with c chunks, fingerprints within the
+    radius agree on ≥ m = c - hamming_max whole chunks, so keying candidates
+    on every m-combination of chunks is lossless while each key carries
+    m × (total_bits/c) bits of selectivity. Single-chunk keys (c = r + 1,
+    m = 1) are a 100×-scale cliff: a ~7-bit key has ≤ 128 distinct values, so
+    candidate volume grows as N²/2⁷ no matter how the join is salted;
+    m = 2 at c = r + 2 squares the key space (~13 bits → ~12k values) for a
+    C(10,2)/10 ≈ 4.5× row-explosion cost. Candidates then go through the
+    shared size-tiered self-join (lossless — no drop tier) and exact
     ``bit_count(xor)`` verification."""
     from facematch_spark.operators.lsh import tiered_self_join
 
     fps = fps.localCheckpoint()  # feeds chunk explode + two verify joins
-    chunks = fps.select(
-        "file_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("chunk_id"),
-                    F.shiftrightunsigned("fp", lo).bitwiseAND(F.lit((1 << w) - 1)).alias("chunk"),
-                )
-                for i, (lo, w) in enumerate(simhash_chunk_bounds(hamming_max, total_bits))
-            ])
-        ).alias("c"),
-    ).select("file_id", "c.chunk_id", "c.chunk")
+    chunks = pigeonhole_chunk_keys(fps, hamming_max, total_bits, n_chunks)
     cands = tiered_self_join(
         chunks,
         keys=["chunk_id", "chunk"],
@@ -419,8 +483,16 @@ def containment_pairs(docs: DataFrame, k: int = 16) -> DataFrame:
         )
         .filter(F.col("rnk") == 1)
         .select(F.col("doc_id").alias("id_a"), "gram")
+        .localCheckpoint()  # feeds the build-side prune AND the candidate join
     )
-    build = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    # Build-side prune (lossless): the candidate join only ever matches grams
+    # that are some doc's rarest gram — a tiny fraction of the full gram
+    # relation. Without this semi-join the build side shuffles EVERY gram of
+    # EVERY doc (~|text| rows/doc), which at content scale dwarfs the
+    # candidates it can produce.
+    build = grams.join(
+        probe.select("gram").distinct(), "gram", "left_semi"
+    ).select(F.col("doc_id").alias("id_b"), "gram")
     cands = (
         probe.join(build, [probe.gram == build.gram, probe.id_a != build.id_b])
         .select("id_a", "id_b")

@@ -184,6 +184,42 @@ def tiered_self_join(
     return normal_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
 
 
+def salted_probe_join(
+    probes: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    left_id: str,
+    right_id: str,
+    cap: int,
+    salt_buckets: int,
+) -> DataFrame:
+    """Skew-safe ASYMMETRIC equi-join on ``keys`` → ``(left_id, right_id)``
+    rows — the probe→build sibling of ``tiered_self_join`` for candidate
+    generators whose two sides differ (multi-probe ANN queries probing home
+    buckets, containment probes against a gram relation). Build-side groups
+    above ``cap`` are salted: build rows get ``bkt = xxhash64(right_id) % s``
+    and each probe row replicates across all s buckets, so no reducer sees
+    more than g/s build rows per probe — LOSSLESS (same rows as the plain
+    join; verified in tests/test_skew.py)."""
+    sizes = build.groupBy(*keys).agg(F.count("*").alias("g"))
+    build_sized = build.join(sizes, keys)
+    probes_sized = probes.join(sizes, keys)  # inner: probes w/o build rows can't match anyway
+
+    normal_p = probes_sized.filter(F.col("g") <= cap).drop("g")
+    normal_b = build_sized.filter(F.col("g") <= cap).drop("g")
+    normal = normal_p.join(normal_b, keys).select(left_id, right_id)
+
+    s = salt_buckets
+    hot_b = build_sized.filter(F.col("g") > cap).drop("g").withColumn(
+        "bkt", F.pmod(F.xxhash64(right_id), F.lit(s))
+    )
+    hot_p = probes_sized.filter(F.col("g") > cap).drop("g").withColumn(
+        "bkt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    )
+    hot = hot_p.join(hot_b, [*keys, "bkt"]).select(left_id, right_id)
+    return normal.unionByName(hot)
+
+
 def crossjoin_pairs(signatures: DataFrame) -> DataFrame:
     """O(N^2) all-pairs fallback — the faithful analog of the reference's
     nested loop (``utils.py:228-246``), kept for tiny inputs and as the

@@ -224,6 +224,9 @@ def ivf_assign(
     C = np.asarray(centroids, dtype=np.float64)
     cn = np.sqrt((C * C).sum(axis=1))
     cn[cn == 0] = 1.0
+    # a tiny corpus can train fewer centroids than n_probe — probing more
+    # lists than exist would mis-shape the output frame
+    probe = min(n_probe, C.shape[0])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -237,12 +240,12 @@ def ivf_assign(
             vn = np.sqrt((V * V).sum(axis=1))
             vn[vn == 0] = 1.0
             cos = V @ C.T / (vn[:, None] * cn[None, :])
-            near = np.argsort(-cos, axis=1)[:, :n_probe]  # (n, n_probe)
+            near = np.argsort(-cos, axis=1)[:, :probe]  # (n, probe)
             yield pd.DataFrame(
                 {
-                    "vid": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "vid": np.repeat(pdf[id_col].to_numpy(), probe),
                     "list_id": near.reshape(-1).astype(np.int32),
-                    "rank": np.tile(np.arange(1, n_probe + 1, dtype=np.int32), n),
+                    "rank": np.tile(np.arange(1, probe + 1, dtype=np.int32), n),
                 }
             )
 
@@ -264,10 +267,22 @@ def train_ivf_centroids(
     """Coarse quantizer: Lloyd's k-means on a bounded driver-side sample
     (standard IVF practice — the quantizer trains on a sample, assignment is
     distributed). The sample is capped at ``sample_rows`` regardless of
-    corpus size, so the driver cost is constant at 100 TB; initialization is
-    seeded, and the limit over a static table is deterministic for a given
-    file layout."""
-    frac_rows = vectors.select(vec_col).limit(sample_rows).collect()
+    corpus size, so the driver cost is constant at 100 TB. Sampling is a
+    seeded Bernoulli ``df.sample`` over the WHOLE corpus — ``limit()`` pulls
+    from the first partitions only, so on time- or source-ordered data the
+    quantizer would see just the corpus head and every tail cluster would
+    collapse into its nearest head centroid (measured in
+    ``test_ivf_sample_not_head_biased``)."""
+    n = vectors.count()
+    if n <= sample_rows:
+        frac_rows = vectors.select(vec_col).collect()
+    else:
+        # 1.2× oversample so the post-filter count lands at ~sample_rows even
+        # on the low side of the binomial; deterministic for a fixed layout
+        frac = min(1.0, 1.2 * sample_rows / n)
+        frac_rows = (
+            vectors.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).collect()
+        )
     X = np.array([list(r[0]) for r in frac_rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
@@ -289,7 +304,7 @@ def train_ivf_centroids(
 def ann_topk_ivf(
     vectors: DataFrame,
     k: int,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     n_probe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -301,8 +316,14 @@ def ann_topk_ivf(
     candidate generation is an equi-join on ``list_id`` (shuffle bounded by
     list sizes — centroids spread mass by construction, unlike hash buckets
     which collapse under duplicated embeddings), verification touches only
-    probed-list pairs. n_lists scales with corpus (√N is the usual rule);
-    n_probe trades recall for cost. Recall vs brute force is pytest-gated."""
+    probed-list pairs. ``n_lists=None`` scales with the corpus as ~√N (the
+    standard IVF rule: expected list size = candidate volume per probe = √N,
+    so per-query work grows as √N instead of N); n_probe trades recall for
+    cost. Recall vs brute force is pytest-gated."""
+    if n_lists is None:
+        import math
+
+        n_lists = max(8, math.isqrt(vectors.count()))
     C = train_ivf_centroids(vectors, n_lists, seed)
     assign = ivf_assign(vectors, C, n_probe=n_probe).localCheckpoint()
     home = assign.filter(F.col("rank") == 1).select("vid", "list_id")
@@ -338,28 +359,60 @@ def ann_topk_lsh(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    multi_probe: bool = True,
+    hot_bucket_cap: int = 200,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Approximate top-k: LSH candidates → exact cosine on candidates only →
-    per-query window top-k. Symmetric: each pair scores for both endpoints.
+    per-query window top-k.
+
     ``n_bits=None`` scales the sketch width with log2(corpus) via
     ``auto_n_bits`` (one cheap count job) so bucket populations stay bounded
-    at any corpus size."""
+    at any corpus size. ``multi_probe`` (Lv et al., VLDB'07) additionally
+    probes every Hamming-1 bucket of each query's sketch — a query checks
+    ``(1 + n_bits) × n_tables`` buckets instead of ``n_tables``, multiplying
+    per-table recall ~4-5× (a near-neighbor that disagrees on exactly one
+    hyperplane still collides) at the same index size. That is the scale
+    trade that matters: recall comes from probes (query-side rows), not from
+    narrower buckets (quadratic candidate blowup) or more tables (index
+    size). The probe→home join runs through ``salted_probe_join`` so hot
+    buckets stay reducer-bounded."""
+    from facematch_spark.operators.lsh import salted_probe_join
+
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count())
-    # materialize once: the pair relation feeds both directions of the union
-    cands = lsh_bucket_candidates(vectors, n_bits, n_tables, dim, seed).localCheckpoint()
-    v = vectors.select(F.col("vec_id"), F.col("embedding"))
-    both = cands.unionByName(
-        cands.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    # materialize once: the sketch relation feeds probes AND home buckets
+    sk = hyperplane_sketches(vectors, n_bits, n_tables, dim, seed).localCheckpoint()
+    if multi_probe:
+        masks = [0] + [1 << i for i in range(n_bits)]
+        probes = sk.select(
+            F.col("vid").alias("qid"),
+            "table_id",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
+    else:
+        probes = sk.select(F.col("vid").alias("qid"), "table_id", "bucket")
+    home = sk.select(F.col("vid").alias("nid"), "table_id", "bucket")
+    cands = (
+        salted_probe_join(
+            probes, home, keys=["table_id", "bucket"],
+            left_id="qid", right_id="nid",
+            cap=hot_bucket_cap, salt_buckets=salt_buckets,
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
     )
+    v = vectors.select(F.col("vec_id"), F.col("embedding"))
     scored = (
-        both.join(v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")), "id_a")
-        .join(v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")), "id_b")
+        cands.join(v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va")), "qid")
+        .join(v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb")), "nid")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
         )
-        .select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "cosine")
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), "cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -49,12 +49,18 @@ def read_source_files(
 
 
 def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
-    """Current Iceberg snapshot id via the metadata table (SQL-only — no JVM
-    reflection), or None on the Parquet fallback."""
+    """Current Iceberg snapshot id via the ``refs`` metadata table (SQL-only —
+    no JVM reflection), or None on the Parquet fallback.
+
+    The ``main`` branch ref IS the table head. The ``snapshots`` metadata
+    table is the wrong source: it lists ALL snapshots — staged
+    write-audit-publish commits and rolled-back lineages included — so
+    ``max(committed_at)`` can name a snapshot the current table state does
+    not reference (pinning it would scan data the head rolled away from)."""
     if not iceberg_available(spark):
         return None
     row = spark.sql(
-        f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        f"SELECT snapshot_id FROM {table}.refs WHERE name = 'main' AND type = 'BRANCH'"
     ).collect()
     return row[0][0] if row else None
 

@@ -54,6 +54,7 @@ def main() -> int:
 
     t0 = time.perf_counter()
     sigs = sign_documents(source, cfg).localCheckpoint()
+    t_sign = time.perf_counter()
     cands = candidate_pairs(sigs, cfg)
     pairs = (
         attach_signature_metrics(cands, sigs)
@@ -61,9 +62,11 @@ def main() -> int:
         .select("id_a", "id_b")
         .localCheckpoint()
     )
+    t_pairs = time.perf_counter()
     clusters = connected_components(pairs, nodes=sigs.select("file_id"))
     n_clusters = clusters.select("cluster_id").distinct().count()
     wall = time.perf_counter() - t0
+    t_cluster = time.perf_counter() - t_pairs
 
     print(json.dumps({
         "files": n_files,
@@ -72,6 +75,11 @@ def main() -> int:
         "pairs": pairs.count(),
         "clusters": n_clusters,
         "cpus": cpus,
+        "stages": {
+            "sign_s": round(t_sign - t0, 2),
+            "pairs_s": round(t_pairs - t_sign, 2),
+            "cluster_s": round(t_cluster, 2),
+        },
     }))
     spark.stop()
     return 0

@@ -33,15 +33,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _ann_recall_report(spark: SparkSession, emb: DataFrame, ann: DataFrame, gate: float) -> DataFrame:
+def _ann_recall_report(spark: SparkSession, emb: DataFrame, build_ann, gate: float) -> DataFrame:
     """Recall@1 verification for an approximate top-k result: a query scores
     a hit when the EXACT brute-force nearest neighbor appears anywhere in its
     approximate top-k. Returns one deterministic row (n_queries,
     recall_pass) that the DuckDB oracle reproduces from the contract —
-    approximate results can't be bit-matched, but the recall property can."""
+    approximate results can't be bit-matched, but the recall property can.
+
+    ``build_ann`` is a callable(emb) -> top-k DataFrame, invoked on the
+    CACHED embeddings, and its (tiny) result is localCheckpointed before the
+    hit join: without the cut the whole ANN DAG re-executes inside the
+    semi-join with its higher-order cosine expressions duplicated across
+    operators by projection collapse (measured 163 s vs 15 s at sf0.1)."""
     from facematch_spark.operators.similarity import cosine_topk_bruteforce
 
+    emb = emb.cache()
     n_q = emb.count()
+    ann = build_ann(emb).localCheckpoint()
     truth = cosine_topk_bruteforce(emb, emb, k=1).select(
         "query_id", F.col("neighbor_id").alias("true_nn")
     )
@@ -50,6 +58,7 @@ def _ann_recall_report(spark: SparkSession, emb: DataFrame, ann: DataFrame, gate
         (truth.query_id == ann.query_id) & (truth.true_nn == ann.neighbor_id),
         "left_semi",
     ).count()
+    emb.unpersist()
     return spark.createDataFrame(
         [(n_q, hits / max(n_q, 1) >= gate)], "n_queries long, recall_pass boolean"
     )
@@ -361,8 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from facematch_spark.operators.similarity import ann_topk_lsh
 
         emb = _t(spark, sf, "embeddings")
-        ann = ann_topk_lsh(emb, k=3, n_bits=None, n_tables=8)
-        return _ann_recall_report(spark, emb, ann, gate=0.9)
+        return _ann_recall_report(
+            spark, emb, lambda e: ann_topk_lsh(e, k=3, n_bits=None, n_tables=8), gate=0.9
+        )
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def ann_ivf_topk(spark, sf):
@@ -371,8 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from facematch_spark.operators.similarity import ann_topk_ivf
 
         emb = _t(spark, sf, "embeddings")
-        ann = ann_topk_ivf(emb, k=3, n_lists=8, n_probe=6)
-        return _ann_recall_report(spark, emb, ann, gate=0.9)
+        return _ann_recall_report(
+            spark, emb, lambda e: ann_topk_ivf(e, k=3, n_lists=8, n_probe=6), gate=0.9
+        )
     q["ann_ivf_topk"] = ann_ivf_topk
 
     # ---- multimodal plumbing ----

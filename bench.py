@@ -39,10 +39,25 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
     n_files = docs.count()
     timings: dict[str, float] = {}
 
+    def _drop_leaked_blocks() -> None:
+        # localCheckpoint blocks persist until their DataFrame is GC'd —
+        # across 20 queries in one session they pile up in block-manager
+        # memory and degrade every later query (measured: multimodal_meta
+        # 0.55 s fresh vs 30 s late in a leaky session).
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(m.keySet().toArray()):
+            m.get(rid).unpersist()
+        # release Python-held broadcast handles so the JVM ContextCleaner
+        # can drop their blocks too
+        import gc
+
+        gc.collect()
+
     def timed(name: str, fn) -> None:
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        _drop_leaked_blocks()
 
     # ---- headline: end-to-end dedup dataflow over documents ----
     cfg = DedupeConfig(jaccard_threshold=0.5)

@@ -33,17 +33,19 @@ def main() -> int:
     # is executor count — exactly what a cluster scale-out varies. (Letting
     # each level pick its own widths confounds the comparison: an 8-way
     # shuffle has worse straggler tails than a 64-way one.)
-    # 48g heap: the 870k-file corpus needs more than the 16g default (the
-    # band relation + signature checkpoint live in block-manager memory);
-    # identical at both parallelism levels, mirroring a real cluster where
-    # total memory scales with executor count. network.timeout 300s rides
-    # out full-GC pauses that would otherwise kill the local heartbeat.
+    # Heap sized to the corpus, not maxed out: every fresh heap page is a
+    # host page fault on this time-shared VM (measured up to 6 s / 32 MB in
+    # degraded windows), so a 48g heap is a stall bomb — 16g fits the 348k
+    # corpus's band relation + signature checkpoint with room (override via
+    # SPARK_DRIVER_MEMORY for larger corpora). Identical at both parallelism
+    # levels, mirroring a real cluster. network.timeout 300s rides out
+    # full-GC pauses that would otherwise kill the local heartbeat.
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=64,
         extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
             "spark.network.timeout": "300s",
         },
     )

@@ -76,10 +76,11 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
     bench_queries = [
         "q1_pricing_summary", "q3_top_orders", "q_topk_per_group", "q_window_running",
         "q_agg_stats", "q_events_hourly",
-        "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_clusters",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_containment",
+        "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_ngram_jaccard_token",
+        "dedup_clusters", "dedup_minhash_lsh", "dedup_simhash", "dedup_containment",
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
-        "ann_cosine_topk", "ann_lsh_topk", "multimodal_meta", "multimodal_frames",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "multimodal_meta", "multimodal_frames",
     ]
     for name in bench_queries:
         fn = qs[name]

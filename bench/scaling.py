@@ -134,16 +134,32 @@ def _wait_for_healthy_window() -> float:
 
 def measure_pairs() -> tuple[dict, dict, list, float]:
     """Tightly interleaved (lo, hi) pairs, each GATED on a healthy host
-    window (busy-loop ceiling ≥ CEILING_GATE measured immediately before the
-    pair): per-pair efficiency cancels the common-mode host throttle, the
-    gate rejects windows where the host cannot physically supply 4× the
-    cores, and the median pair is the reported number."""
+    window: the busy-loop ceiling must clear CEILING_GATE immediately before
+    the pair AND after each run inside it (this host's windows shift on
+    minute scales — a pair that started healthy can finish throttled, which
+    is exactly how round 2 recorded 'local[8] as slow as local[2]').
+    Degraded pairs are DISCARDED and retried, not averaged in; per-pair
+    efficiency cancels any residual common-mode throttle; the median valid
+    pair is the reported number."""
     pairs = []
     ceilings = []
-    for _ in range(REPEATS):
-        c = _wait_for_healthy_window()
+    attempts = 0
+    while len(pairs) < REPEATS and attempts < REPEATS * 4:
+        attempts += 1
+        c0 = _wait_for_healthy_window()
         lo = run_job_once(N_LO)
+        c1 = cpu_ceiling()
+        if c1 < CEILING_GATE:
+            print(f"discard: window degraded after lo (ceiling {c1:.3f})",
+                  file=sys.stderr)
+            continue
         hi = run_job_once(N_HI)
+        c2 = cpu_ceiling()
+        if c2 < CEILING_GATE:
+            print(f"discard: window degraded after hi (ceiling {c2:.3f})",
+                  file=sys.stderr)
+            continue
+        c = min(c0, c1, c2)
         eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (N_HI / N_LO)
         pairs.append((eff, lo, hi, c))
         ceilings.append(c)
@@ -151,6 +167,8 @@ def measure_pairs() -> tuple[dict, dict, list, float]:
               f"lo={lo['wall_s']}s hi={hi['wall_s']}s "
               f"lo_stages={lo.get('stages')} hi_stages={hi.get('stages')}",
               file=sys.stderr)
+    if not pairs:
+        raise RuntimeError("no valid pairs: host never held a healthy window")
     pairs.sort(key=lambda t: t[0])
     # lower-middle on even counts: conservative, never the best pair
     _, lo, hi, _ = pairs[(len(pairs) - 1) // 2]
@@ -197,9 +215,10 @@ def main() -> int:
         f"Measurement protocol: {REPEATS} tightly-interleaved (N, 4N) pairs, "
         f"fresh JVM each run, identical 64-partition plan at both levels, "
         f"each pair GATED on a healthy host window (busy-loop ceiling ≥ "
-        f"{CEILING_GATE} measured immediately before the pair; degraded "
-        f"windows are waited out, not averaged in); the median-efficiency "
-        f"pair is reported. Per-pair (efficiency, window ceiling): "
+        f"{CEILING_GATE} measured immediately before the pair AND re-checked "
+        f"after each run inside it; pairs whose window degraded mid-flight "
+        f"are discarded and retried, not averaged in); the median-efficiency "
+        f"pair is reported. Per-pair (efficiency, min window ceiling): "
         f"{[(round(p[0], 3), round(p[3], 3)) for p in all_pairs]}. "
         f"**Median window ceiling: {ceiling:.2f}** — a pure-Python "
         f"busy-loop at {N_LO} vs {N_HI} processes on this time-shared sandbox "
@@ -228,9 +247,32 @@ def main() -> int:
         "The reference processes 11 files in 54-116 s end-to-end (0.10-0.20"
         " files/s, findings.md:1-117) — DeepFace-embedding-dominated, O(N²)"
         f" compare. This engine sustains {fps32} files/s on the scaling corpus"
-        " at local[32]: ~3000× the reference's single-node throughput on the"
-        " same dataflow shape (sign → candidate → verify → report), with"
+        f" at local[{N_HI}]: >1000× the reference's single-node throughput on"
+        " the same dataflow shape (sign → candidate → verify → report), with"
         " recall gated ≥0.99 against the exact oracle in tests.",
+        "",
+        "## Appendix: measurement history (rounds 1-3)",
+        "",
+        "Round 1 measured 0.81 at 8→32 on an 87k corpus but the job was"
+        " overhead-dominated (compute ~1/3 of wall). Round 2 rebuilt the"
+        " protocol (taskset pinning — local[N] bounds only task slots, the"
+        " JVM's GC/netty/shuffle threads spill onto extra cores; healthy-core"
+        " offset — cpu0-1 measured ~300× slow in one window; 348k corpus so"
+        " parallel work ≫ fixed overhead; fresh JVM per run) but reported"
+        " 0.25: its pairs were measured through degraded host windows and"
+        " averaged in. Round 3 added the missing piece — the healthy-window"
+        " GATE. Diagnosis that motivated it: the identical 8-core dataflow"
+        " measured sign 66 s / candidates 21 s / verify 7.5 s on a quiet"
+        " host vs 77 / 70 / 158 s under concurrent load (same code, same"
+        " input, ±2× per sub-stage between back-to-back runs), and round 2's"
+        " 'local[8] as fast as local[2]' headline pair is exactly what a"
+        " throttled wide run looks like. Round 3 also removed three genuine"
+        " fixed-cost/pathology terms: Arrow both ways across the union-find"
+        " driver boundary (collect 12 s → <1 s, labels out 8-35 s → <1 s),"
+        " 16g heap instead of 48g (fresh heap pages fault against the host —"
+        " measured up to 6.4 s per 32 MB touched in a bad window), and"
+        " per-stage timings in the job JSON so any future regression is"
+        " attributable instead of guessed.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

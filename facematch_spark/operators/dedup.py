@@ -394,10 +394,9 @@ def _pigeonhole_hamming_pairs(
 
 def simhash_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """SimHash near-dup pairs: fingerprint once (vectorized xxhash kernels),
-    candidate-generate by fingerprint chunk (``hamming_max + 1`` near-equal
-    chunks — the pigeonhole guarantee covers the FULL configured radius,
-    fixing the round-1 hole where 4 fixed chunks only guaranteed Hamming
-    ≤ 3), then verify with ``bit_count(xor) ≤ max``. Candidate groups go
+    candidate-generate by MULTI-CHUNK pigeonhole keys (Manku et al. WWW'07 —
+    see ``pigeonhole_chunk_keys``; the guarantee covers the FULL configured
+    radius), then verify with ``bit_count(xor) ≤ max``. Candidate groups go
     through the shared size-tiered self-join (plain ≤ cap, salted triangle
     above — lossless, no drop tier: the exactness guarantee forbids dropping
     hot chunks). Recall = 1.0 within the radius is pytest-gated against the

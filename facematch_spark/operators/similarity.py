@@ -188,11 +188,14 @@ def lsh_bucket_candidates(
     hot_bucket_cap: int = 200,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """ANN candidate pairs: same sign-sketch bucket in ANY of ``n_tables``
-    independent hyperplane tables. Equi-join per table on (table, bucket) —
-    the cosine analog of MinHash banding — through the shared size-tiered
-    self-join (hot buckets take the salted triangle join; lossless, no drop
-    tier so table-level recall is untouched)."""
+    """SYMMETRIC ANN candidate pairs: same sign-sketch bucket in ANY of
+    ``n_tables`` independent hyperplane tables. Equi-join per table on
+    (table, bucket) — the cosine analog of MinHash banding — through the
+    shared size-tiered self-join (hot buckets take the salted triangle join;
+    lossless, no drop tier so table-level recall is untouched). Kept for
+    pair-shaped consumers (near-dup edges); ``ann_topk_lsh`` uses the
+    asymmetric multi-probe join instead, which reaches the same recall with
+    far fewer tables."""
     from facematch_spark.operators.lsh import tiered_self_join
 
     allb = hyperplane_sketches(vectors, n_bits, n_tables, dim, seed, vec_col, id_col)

@@ -70,10 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     meta = store.load_run_meta()
     snap = meta.get("snapshot_id")
     if "/" not in args.input:
-        from facematch_spark.sources.io import current_snapshot_id
+        from facematch_spark.sources.io import current_snapshot_id, resolve_snapshot_pin
 
-        if snap is None or meta.get("run_complete", True):
-            snap = current_snapshot_id(spark, args.input)
+        snap = resolve_snapshot_pin(meta, current_snapshot_id(spark, args.input))
         if snap is not None:
             meta = {**meta, "snapshot_id": snap, "run_complete": False}
             store.save_run_meta(meta)

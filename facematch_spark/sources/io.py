@@ -65,6 +65,27 @@ def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
     return row[0][0] if row else None
 
 
+def resolve_snapshot_pin(meta: dict, head_snapshot_id: int | None) -> int | None:
+    """Which snapshot a run should pin, given the stored run metadata and the
+    table's current head. Pure decision logic (unit-tested without Iceberg):
+
+      * no stored pin            → pin the head (first run on this config);
+      * previous run COMPLETE    → re-pin the head, so rows appended since
+        then enter through the incremental anti-join (a never-expiring pin
+        would freeze the input forever — the pipeline would re-read the
+        original snapshot on every rerun and new data could never enter);
+      * previous run INCOMPLETE  → reuse the stored pin: the resume must
+        re-scan exactly the rows the interrupted run saw, or appended rows
+        slip past the already-signed anti-join with a partial view.
+
+    ``run_complete`` defaults to True for metadata written before the flag
+    existed (legacy pins never expired — exactly the bug this fixes)."""
+    stored = meta.get("snapshot_id")
+    if stored is None or meta.get("run_complete", True):
+        return head_snapshot_id
+    return stored
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     w = df.write.mode(mode)
     if partition_by:

@@ -40,6 +40,15 @@ def main() -> int:
     # SPARK_DRIVER_MEMORY for larger corpora). Identical at both parallelism
     # levels, mirroring a real cluster. network.timeout 300s rides out
     # full-GC pauses that would otherwise kill the local heartbeat.
+    # Shuffle/spill on tmpfs: a real cluster's 4N executors bring 4N local
+    # SSDs, so disk bandwidth scales WITH the cluster; this sandbox has one
+    # shared virtio disk whose writeback throughput varies minute-to-minute
+    # (measured: the same 8-core pairs stage 28 s with a warm page cache vs
+    # 73-122 s when vda writeback stalled — invisible to the CPU busy-loop
+    # gate). tmpfs models the executor-local disk both widths get equally;
+    # the ~3 GB of shuffle fits trivially in the 126 GB of RAM.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/fm_spark_local")
+    os.makedirs(local_dir, exist_ok=True)
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
@@ -47,6 +56,16 @@ def main() -> int:
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
             "spark.network.timeout": "300s",
+            "spark.local.dir": local_dir,
+            # Fault the whole heap in at JVM startup (standard production
+            # executor flag): this host's fresh-page fault servicing swings
+            # from ~6 GB/s to <0.1 GB/s between minutes, and a heap growing
+            # mid-run turns those windows into multi-second allocation
+            # stalls inside the timed stages. Pre-touch moves all heap
+            # faults into (untimed, gated) session bring-up.
+            "spark.driver.extraJavaOptions": "-Xms"
+            + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+            + " -XX:+AlwaysPreTouch",
         },
     )
     source = spark.read.schema(S.SOURCE_FILES).parquet(inp).repartition(64)

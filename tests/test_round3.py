@@ -193,6 +193,26 @@ def test_kernel_version_changes_config_hash(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# Iceberg snapshot re-pin decision (ADVICE medium — pure logic, no Iceberg)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_repin_decision():
+    from facematch_spark.sources.io import resolve_snapshot_pin
+
+    # first run on a config: pin the head
+    assert resolve_snapshot_pin({}, 100) == 100
+    # previous run completed: RE-pin the head so appended rows enter
+    assert resolve_snapshot_pin({"snapshot_id": 100, "run_complete": True}, 200) == 200
+    # previous run interrupted: reuse the stored pin (resume isolation)
+    assert resolve_snapshot_pin({"snapshot_id": 100, "run_complete": False}, 200) == 100
+    # legacy metadata without the flag: treat as complete (the old
+    # never-expiring-pin behavior is the bug; expire it)
+    assert resolve_snapshot_pin({"snapshot_id": 100}, 200) == 200
+    # parquet fallback: no head, nothing to pin
+    assert resolve_snapshot_pin({}, None) is None
+
+
+# ---------------------------------------------------------------------------
 # token-shingle mode (VERDICT #8)
 # ---------------------------------------------------------------------------
 

@@ -69,9 +69,13 @@ def main() -> int:
         },
     )
     source = spark.read.schema(S.SOURCE_FILES).parquet(inp).repartition(64)
-    # warm the JVM/scan metadata so the measurement is the dataflow, not
-    # session bring-up (both parallelism levels get the same treatment)
+    # warm the JVM/scan metadata AND the Python workers/netty arenas so the
+    # measurement is the dataflow, not session bring-up (a cluster's
+    # executors are warm long-lived processes; here every fresh page fault
+    # can cost ~4 ms in this host's bad windows). Both parallelism levels
+    # get the identical treatment; the warmup signs a tiny slice only.
     n_files = source.count()
+    sign_documents(source.limit(int(cpus) * 64), cfg).count()
 
     t0 = time.perf_counter()
     sigs = sign_documents(source, cfg).localCheckpoint()

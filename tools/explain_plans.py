@@ -92,6 +92,26 @@ def main() -> None:
     topk = li.orderBy(F.desc("l_extendedprice")).limit(5)
     summarize("global topk", topk, expect=[r"TakeOrderedAndProject"])
 
+    # 7. containment: the gram build side must be pruned by a LEFT-SEMI join
+    # against the distinct probe grams BEFORE the candidate join (round-3
+    # fix — without it the build shuffle is proportional to total text
+    # volume), and no cartesian anywhere
+    from facematch_spark.operators.dedup import containment_pairs
+
+    summarize(
+        "containment", containment_pairs(docs, k=16),
+        expect=[r"LeftSemi"], forbid=[r"CartesianProduct"],
+    )
+
+    # 8. multi-probe ANN: probe→home equi-join (shuffle or broadcast hash —
+    # never a nested-loop/cartesian), window top-k stays a single exchange
+    from facematch_spark.operators.similarity import ann_topk_lsh
+
+    summarize(
+        "ann multiprobe", ann_topk_lsh(emb, k=3, n_bits=4, n_tables=4),
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     spark.stop()
 
 

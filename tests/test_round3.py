@@ -74,6 +74,59 @@ def test_simhash_multichunk_group_selectivity(spark):
     assert max_group < single_chunk_expectation / 10  # ≪, not just <
 
 
+@pytest.mark.parametrize("radius", [0, 1, 2, 3, 4, 6, 8])
+def test_pigeonhole_guarantee_all_radii(spark, radius):
+    """Any two fingerprints within the Hamming radius MUST share at least
+    one (chunk_id, chunk) key — the lossless-candidate invariant, checked
+    for every supported radius with adversarial flip placements (clustered
+    in one chunk, spread across chunks, at chunk boundaries)."""
+    from facematch_spark.operators.dedup import pigeonhole_chunk_keys
+
+    rng = np.random.default_rng(radius)
+    rows, want_pairs = [], []
+    next_id = 0
+    for trial in range(12):
+        base = int(rng.integers(0, 2**63))
+        if radius == 0:
+            flips = []
+        elif trial % 3 == 0:   # clustered: all flips in the low bits
+            flips = list(range(radius))
+        elif trial % 3 == 1:   # spread: maximally separated
+            flips = [(i * 64) // max(radius, 1) for i in range(radius)]
+        else:                  # random placements
+            flips = list(rng.choice(64, size=radius, replace=False))
+        other = base
+        for b in flips:
+            other ^= 1 << int(b)
+
+        def signed(v):
+            return v if v < 2**63 else v - 2**64
+
+        a_id, b_id = next_id, next_id + 1
+        next_id += 2
+        rows += [(a_id, signed(base)), (b_id, signed(other))]
+        want_pairs.append((a_id, b_id))
+
+    df = spark.createDataFrame(rows, "file_id long, fp long")
+    keys = pigeonhole_chunk_keys(df, radius, 64)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    shared = {
+        (r.ia, r.ib)
+        for r in a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.file_id") < F.col("b.file_id")),
+        )
+        .select(F.col("a.file_id").alias("ia"), F.col("b.file_id").alias("ib"))
+        .distinct()
+        .collect()
+    }
+    for pair in want_pairs:
+        assert pair in shared, f"radius {radius}: pair {pair} lost by chunk keys"
+
+
 def test_simhash_chunk_bounds_validation():
     from facematch_spark.operators.dedup import simhash_chunk_bounds
 

@@ -28,10 +28,16 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
     from facematch_spark.operators.dedup import minhash_lsh_pairs
     from facematch_spark.session import get_spark
 
+    # tmpfs shuffle dir for the local measurement harness only (a cluster
+    # keeps its executor-local disks): this sandbox's shared virtio disk
+    # and its page-fault windows otherwise add minutes of variance.
+    local_dir = "/dev/shm/fm_spark_local"
+    os.makedirs(local_dir, exist_ok=True)
     spark = get_spark(
         app_name="facematch_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(int(cpus) if cpus.isdigit() else 32, 8),
+        extra_conf={"spark.local.dir": local_dir},
     )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 

@@ -61,33 +61,30 @@ N_HI = 4 * N_LO
 # the wide run — gating on the ceiling rejects those windows instead of
 # averaging them in.
 CEILING_GATE = float(os.environ.get("SCALING_CEILING_GATE", "0.9"))
-# Fresh-page fault-rate gate (GB/s of first-touch pages, 2 concurrent
-# procs): this host's fault servicing swings from ~6 GB/s to <0.1 GB/s
-# between minutes — windows the CPU busy-loop cannot see, but which stall
-# every allocation-heavy stage (shuffle buffers, hash tables, Python
-# workers). Measured good windows: 5-6 GB/s; catastrophic: <0.2.
-FAULT_GATE_GBPS = float(os.environ.get("SCALING_FAULT_GATE", "2.0"))
 GATE_RETRY_SLEEP_S = int(os.environ.get("SCALING_GATE_SLEEP", "120"))
 GATE_MAX_WAIT_S = int(os.environ.get("SCALING_GATE_MAX_WAIT", "1800"))
 
 
-# First CPU id used for pinning. CPUs 0-3 on this VM are consumed by host
-# IRQs/system tenants (a per-CPU scan measured cpu0/cpu1 ~300× slower than
-# cpu4-11) — pinning a run onto them measures the neighbors, not the job.
+# Fallback first CPU id for pinning when adaptive selection is disabled.
 CPU_OFFSET = int(os.environ.get("SCALING_CPU_OFFSET", "4"))
+# Per-CPU fault-probe gate: ms to first-touch 20 MB of fresh pages. Healthy
+# vCPUs measure 4-40 ms; pathological ones 600-5000 ms (see BENCH/BASELINE
+# appendix — the affected set DRIFTS, so health is a per-attempt, per-CPU
+# property, like sick nodes a cluster scheduler routes around).
+FAULT_MS_GATE = float(os.environ.get("SCALING_FAULT_MS", "15"))
 
 
-def run_job_once(cpus: int) -> dict:
+def run_job_once(cpu_list: list[int], width: int) -> dict:
     # taskset pins the WHOLE process tree (JVM + Python workers) to exactly
-    # `cpus` healthy CPUs. local[N] alone only bounds task slots — the JVM's
-    # GC, netty, shuffle and parquet-decode threads spill onto extra cores,
-    # so an unpinned local[2] run consumes ~4-5 cores and fakes a high
-    # baseline (measured: unpinned 2→8 efficiency 0.37 under a 0.95 machine
-    # ceiling). Pinning makes "N cores" mean N cores, like an executor's
-    # cgroup does.
+    # the selected healthy CPUs. local[N] alone only bounds task slots — the
+    # JVM's GC, netty, shuffle and parquet-decode threads spill onto extra
+    # cores, so an unpinned local[2] run consumes ~4-5 cores and fakes a
+    # high baseline (measured: unpinned 2→8 efficiency 0.37 under a 0.95
+    # machine ceiling). Pinning makes "N cores" mean N cores, like an
+    # executor's cgroup does.
     out = subprocess.run(
-        ["taskset", "-c", f"{CPU_OFFSET}-{CPU_OFFSET + cpus - 1}",
-         sys.executable, os.path.join(REPO, "jobs", "scaling_job.py"), CORPUS, str(cpus)],
+        ["taskset", "-c", ",".join(str(c) for c in cpu_list),
+         sys.executable, os.path.join(REPO, "jobs", "scaling_job.py"), CORPUS, str(width)],
         capture_output=True, text=True, timeout=3000, cwd=REPO,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -108,23 +105,23 @@ def _burn(cpu):
     return x
 
 
-def cpu_ceiling() -> float:
+def cpu_ceiling(cpu_list: list[int]) -> float:
     """This sandbox VM time-shares its host: per-core speed and achievable
     width vary by tens of percent between minutes. Measure what a pure
-    Python busy-loop achieves at N vs 4N processes right now — the machine's
-    own N→4N efficiency ceiling, against which the job's efficiency must be
-    read. (On a real 4N-executor cluster this ceiling is 1.0 by
-    construction: executors don't share cores.)"""
+    Python busy-loop achieves at N vs 4N processes on the SELECTED CPUs
+    right now — the machine's own N→4N efficiency ceiling, against which
+    the job's efficiency must be read. (On a real 4N-executor cluster this
+    ceiling is 1.0 by construction: executors don't share cores.)"""
     import multiprocessing as mp
 
     totals = {}
     for n in (N_LO, N_HI):
         with mp.Pool(n) as p:
-            totals[n] = sum(p.map(_burn, range(CPU_OFFSET, CPU_OFFSET + n)))
+            totals[n] = sum(p.map(_burn, cpu_list[:n]))
     return (totals[N_HI] / totals[N_LO]) / (N_HI / N_LO)
 
 
-def _fault_probe(cpu):
+def _fault_probe_ms(cpu):
     import os as _os
     import time as _t
 
@@ -132,39 +129,77 @@ def _fault_probe(cpu):
 
     _os.sched_setaffinity(0, {cpu})
     t0 = _t.perf_counter()
-    a = np.empty(100_000_000 // 8, dtype=np.int64)
-    a[::512] = 1  # touch every 4 KB page of 100 MB fresh allocation
-    return 0.1 / (_t.perf_counter() - t0)
+    a = np.empty(20_000_000 // 8, dtype=np.int64)
+    a[::512] = 1  # touch every 4 KB page of 20 MB fresh allocation
+    return (_t.perf_counter() - t0) * 1000
 
 
-def fault_gbps() -> float:
-    """Fresh-page fault-servicing rate (GB/s, min over 2 concurrent
-    processes on the healthy-CPU range) — the host-health axis the CPU
-    busy-loop cannot see (faults are serviced by the hypervisor, not the
-    guest's scheduler slice)."""
+def fault_scan(cpus: list[int]) -> dict[int, float]:
+    """Per-CPU fresh-page fault latency (ms / 20 MB first-touch) — the
+    host-health axis the CPU busy-loop cannot see (faults are serviced by
+    the hypervisor, not the guest's scheduler slice), and a PER-vCPU
+    property on this host: the pathological set drifts minute-to-minute.
+    Bails out early when the first quarter of the scan is already dead."""
     import multiprocessing as mp
 
-    with mp.Pool(2) as p:
-        return min(p.map(_fault_probe, (CPU_OFFSET, CPU_OFFSET + 1)))
+    out: dict[int, float] = {}
+    dead = 0
+    for i, cpu in enumerate(cpus):
+        with mp.Pool(1) as p:
+            out[cpu] = p.apply(_fault_probe_ms, (cpu,))
+        if out[cpu] > 50 * FAULT_MS_GATE:
+            dead += 1
+        if i >= 7 and dead > i // 2:  # majority dead early: give up fast
+            break
+    return out
 
 
-def host_health() -> tuple[float, float, bool]:
-    c = cpu_ceiling()
-    f = fault_gbps()
-    return c, f, (c >= CEILING_GATE and f >= FAULT_GATE_GBPS)
+def pick_healthy_cpus() -> list[int] | None:
+    """Select the N_HI fault-healthiest CPUs for this attempt (the
+    executor-placement analog: a cluster scheduler doesn't put executors on
+    sick nodes). Returns None when fewer than N_HI CPUs clear the gate.
+    CPU 0 is excluded — it carries host IRQ load on this VM."""
+    scan = fault_scan(list(range(1, os.cpu_count() or 32)))
+    healthy = sorted((ms, c) for c, ms in scan.items() if ms <= FAULT_MS_GATE)
+    if len(healthy) < N_HI:
+        worst = sorted(scan.values())
+        print(f"unhealthy: {len(healthy)}/{N_HI} CPUs clear "
+              f"{FAULT_MS_GATE:.0f} ms (best {worst[:4]})", file=sys.stderr)
+        return None
+    return sorted(c for _, c in healthy[:N_HI])
 
 
-def _wait_for_healthy_window() -> tuple[float, float]:
-    """Block until BOTH health gates clear (or the wait budget runs out);
-    returns the last measured (ceiling, fault_gbps)."""
+def recheck_cpus(cpu_list: list[int]) -> bool:
+    """Post-run validation: the SELECTED CPUs must still be fault-healthy
+    (allow 2× the pick gate — the run itself warms allocator pools, and a
+    marginal drift shouldn't discard an otherwise-clean pair)."""
+    scan = fault_scan(cpu_list)
+    bad = {c: round(ms) for c, ms in scan.items() if ms > 2 * FAULT_MS_GATE}
+    if bad:
+        print(f"recheck failed on {bad}", file=sys.stderr)
+        return False
+    return True
+
+
+def _wait_for_healthy_window() -> tuple[list[int], float]:
+    """Block until N_HI CPUs clear the fault gate AND the busy-loop ceiling
+    on them clears CEILING_GATE (or the wait budget runs out); returns the
+    selected CPU list and the measured ceiling."""
     import time
 
     waited = 0
     while True:
-        c, f, ok = host_health()
-        if ok or waited >= GATE_MAX_WAIT_S:
-            return c, f
-        print(f"waiting: ceiling={c:.3f} fault={f:.2f} GB/s", file=sys.stderr)
+        cpus = pick_healthy_cpus()
+        if cpus is not None:
+            c = cpu_ceiling(cpus)
+            if c >= CEILING_GATE:
+                return cpus, c
+            print(f"waiting: ceiling={c:.3f} on {cpus}", file=sys.stderr)
+        if waited >= GATE_MAX_WAIT_S:
+            # budget exhausted: fall back to the static offset range; the
+            # post-run recheck still protects the pair's validity
+            fallback = list(range(CPU_OFFSET, CPU_OFFSET + N_HI))
+            return fallback, cpu_ceiling(fallback)
         time.sleep(GATE_RETRY_SLEEP_S)
         waited += GATE_RETRY_SLEEP_S
 
@@ -183,20 +218,17 @@ def measure_pairs() -> tuple[dict, dict, list, float]:
     attempts = 0
     while len(pairs) < REPEATS and attempts < REPEATS * 4:
         attempts += 1
-        c0, _f0 = _wait_for_healthy_window()
-        lo = run_job_once(N_LO)
-        c1, f1, ok1 = host_health()
-        if not ok1:
-            print(f"discard: window degraded after lo (ceiling {c1:.3f}, "
-                  f"fault {f1:.2f} GB/s)", file=sys.stderr)
+        cpus, c0 = _wait_for_healthy_window()
+        print(f"attempt {attempts}: cpus={cpus} ceiling={c0:.3f}", file=sys.stderr)
+        lo = run_job_once(cpus[:N_LO], N_LO)
+        if not recheck_cpus(cpus):
+            print("discard: window degraded after lo", file=sys.stderr)
             continue
-        hi = run_job_once(N_HI)
-        c2, f2, ok2 = host_health()
-        if not ok2:
-            print(f"discard: window degraded after hi (ceiling {c2:.3f}, "
-                  f"fault {f2:.2f} GB/s)", file=sys.stderr)
+        hi = run_job_once(cpus, N_HI)
+        if not recheck_cpus(cpus):
+            print("discard: window degraded after hi", file=sys.stderr)
             continue
-        c = min(c0, c1, c2)
+        c = c0
         eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (N_HI / N_LO)
         pairs.append((eff, lo, hi, c))
         ceilings.append(c)
@@ -251,13 +283,16 @@ def main() -> int:
         "",
         f"Measurement protocol: {REPEATS} tightly-interleaved (N, 4N) pairs, "
         f"fresh JVM each run, identical 64-partition plan at both levels, "
-        f"each pair GATED on a healthy host window (busy-loop ceiling ≥ "
-        f"{CEILING_GATE} AND fresh-page fault rate ≥ {FAULT_GATE_GBPS} GB/s "
-        f"— this host's hypervisor-side fault servicing swings ~50× between "
-        f"minutes, invisible to the CPU busy-loop — measured immediately "
-        f"before the pair AND re-checked after each run inside it; pairs "
-        f"whose window degraded mid-flight are discarded and retried, not "
-        f"averaged in). JVM heaps run -Xms=-Xmx -XX:+AlwaysPreTouch (the "
+        f"each pair GATED on a healthy host window: per-CPU fresh-page "
+        f"fault latency ≤ {FAULT_MS_GATE:.0f} ms/20 MB — this host's "
+        f"hypervisor-side fault servicing degrades ~400× on a drifting "
+        f"subset of vCPUs, invisible to the CPU busy-loop — with the "
+        f"{N_HI} healthiest CPUs SELECTED per attempt (the executor-"
+        f"placement analog of a scheduler routing around sick nodes), "
+        f"busy-loop ceiling ≥ {CEILING_GATE} on the selected set, and the "
+        f"same CPUs re-checked after each run inside the pair; pairs whose "
+        f"window degraded mid-flight are discarded and retried, not "
+        f"averaged in. JVM heaps run -Xms=-Xmx -XX:+AlwaysPreTouch (the "
         f"standard production-executor flag) so heap faults land in untimed "
         f"session bring-up; shuffle dirs are tmpfs, modeling the per-"
         f"executor local SSDs a real 4N-executor cluster scales with its "

@@ -24,8 +24,10 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
 
     import __spark_entry__ as E
     from facematch_spark.config import DedupeConfig
+    from facematch_spark.operators import lsh as L
     from facematch_spark.operators.cluster import connected_components
-    from facematch_spark.operators.dedup import minhash_lsh_pairs
+    from facematch_spark.operators.dedup import doc_shingles, doc_signatures
+    from facematch_spark.operators.verify import attach_signature_metrics, exact_overlap_metrics
     from facematch_spark.session import get_spark
 
     # tmpfs shuffle dir for the local measurement harness only (a cluster
@@ -66,14 +68,34 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         _drop_leaked_blocks()
 
     # ---- headline: end-to-end dedup dataflow over documents ----
+    # Inlines minhash_lsh_pairs' own materialization boundaries (the sigs /
+    # pairs localCheckpoints already exist inside the operator) so the bench
+    # records per-stage walls at zero extra work — a regression in any later
+    # round is attributable to a stage from the BENCH_rN artifact alone.
     cfg = DedupeConfig(jaccard_threshold=0.5)
+    stage_walls: dict[str, dict[str, float]] = {}
 
     def e2e():
-        pairs = minhash_lsh_pairs(docs, cfg).localCheckpoint()
+        st: dict[str, float] = {}
+        t0 = time.perf_counter()
+        sigs = doc_signatures(docs, cfg).localCheckpoint()  # eager: materializes
+        st["sign_s"] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
+        cands = L.candidate_pairs(sigs, cfg)
+        pairs = (
+            attach_signature_metrics(cands, sigs)
+            .filter(F.col("minhash_est") >= F.lit(cfg.jaccard_threshold))
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+        st["pairs_s"] = round(time.perf_counter() - t1, 3)
+        t2 = time.perf_counter()
         clusters = connected_components(
-            pairs.select("id_a", "id_b"), nodes=docs.select(F.col("doc_id").alias("file_id"))
+            pairs, nodes=docs.select(F.col("doc_id").alias("file_id"))
         )
         clusters.count()
+        st["cluster_s"] = round(time.perf_counter() - t2, 3)
+        stage_walls["dedupe_e2e"] = st
 
     timed("dedupe_e2e", e2e)
 
@@ -88,7 +110,33 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
         "multimodal_meta", "multimodal_frames",
     ]
+    def minhash_exact_staged():
+        # staged twin of the dedup_minhash_lsh entry query
+        # (minhash_lsh_exact_pairs): identical dataflow, with walls read at
+        # the operator's own materialization boundaries (cands/pairs are
+        # checkpointed inside exact_overlap_metrics anyway; the extra sigs
+        # checkpoint is the only addition). Diagnoses the round-3
+        # 12.8 → 20.8 s regression question from artifacts alone.
+        st: dict[str, float] = {}
+        t0 = time.perf_counter()
+        sigs = doc_signatures(docs, E.DOC_CFG).localCheckpoint()
+        st["sign_s"] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
+        cands = L.candidate_pairs(sigs, E.DOC_CFG).localCheckpoint()
+        st["cand_s"] = round(time.perf_counter() - t1, 3)
+        t2 = time.perf_counter()
+        sh = doc_shingles(docs, E.DOC_CFG)
+        out = exact_overlap_metrics(cands, sh).filter(
+            F.col("jaccard") >= F.lit(E.DOC_CFG.jaccard_threshold)
+        ).select("id_a", "id_b", "jaccard")
+        out.write.format("noop").mode("overwrite").save()
+        st["verify_s"] = round(time.perf_counter() - t2, 3)
+        stage_walls["dedup_minhash_lsh"] = st
+
     for name in bench_queries:
+        if name == "dedup_minhash_lsh":
+            timed(name, minhash_exact_staged)
+            continue
         fn = qs[name]
         timed(name, lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -103,6 +151,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "files_per_sec": round(n_files / timings["dedupe_e2e"], 2),
         "total_sec": total,
         "cpus": cpus,
+        "stages": stage_walls,
     }
     spark.stop()
     return result

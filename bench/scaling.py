@@ -181,10 +181,13 @@ def recheck_cpus(cpu_list: list[int]) -> bool:
     return True
 
 
-def _wait_for_healthy_window() -> tuple[list[int], float]:
+def _wait_for_healthy_window() -> tuple[list[int], float, bool]:
     """Block until N_HI CPUs clear the fault gate AND the busy-loop ceiling
     on them clears CEILING_GATE (or the wait budget runs out); returns the
-    selected CPU list and the measured ceiling."""
+    selected CPU list, the measured ceiling, and whether the window actually
+    cleared the ceiling gate. The wait-budget fallback returns the static
+    offset range with ``gated=False`` when its ceiling is below the gate —
+    callers must NOT report such a pair as gate-validated."""
     import time
 
     waited = 0
@@ -193,33 +196,40 @@ def _wait_for_healthy_window() -> tuple[list[int], float]:
         if cpus is not None:
             c = cpu_ceiling(cpus)
             if c >= CEILING_GATE:
-                return cpus, c
+                return cpus, c, True
             print(f"waiting: ceiling={c:.3f} on {cpus}", file=sys.stderr)
         if waited >= GATE_MAX_WAIT_S:
-            # budget exhausted: fall back to the static offset range; the
-            # post-run recheck still protects the pair's validity
+            # budget exhausted: fall back to the static offset range so the
+            # run still produces A number, but carry the honest gate verdict
             fallback = list(range(CPU_OFFSET, CPU_OFFSET + N_HI))
-            return fallback, cpu_ceiling(fallback)
+            c = cpu_ceiling(fallback)
+            return fallback, c, c >= CEILING_GATE
         time.sleep(GATE_RETRY_SLEEP_S)
         waited += GATE_RETRY_SLEEP_S
 
 
-def measure_pairs() -> tuple[dict, dict, list, float]:
+def measure_pairs() -> tuple[dict, dict, list, float, int]:
     """Tightly interleaved (lo, hi) pairs, each GATED on a healthy host
-    window: the busy-loop ceiling must clear CEILING_GATE immediately before
-    the pair AND after each run inside it (this host's windows shift on
-    minute scales — a pair that started healthy can finish throttled, which
-    is exactly how round 2 recorded 'local[8] as slow as local[2]').
-    Degraded pairs are DISCARDED and retried, not averaged in; per-pair
-    efficiency cancels any residual common-mode throttle; the median valid
-    pair is the reported number."""
-    pairs = []
-    ceilings = []
+    window: immediately before the pair the busy-loop ceiling must clear
+    CEILING_GATE and every selected CPU must clear the fault-latency gate;
+    after each run inside the pair the SAME CPUs are re-probed for fault
+    latency (the ceiling is measured once per window, pre-pair — a full
+    busy-loop re-run mid-pair would itself perturb the window). Host windows
+    shift on minute scales — a pair that started healthy can finish
+    throttled, which is exactly how round 2 recorded 'local[8] as slow as
+    local[2]' — so degraded pairs are DISCARDED and retried, not averaged
+    in. Pairs from the wait-budget fallback whose ceiling missed the gate
+    are kept only as a last resort (``gated=False``, reported as such);
+    gate-validated pairs always take precedence. Per-pair efficiency cancels
+    any residual common-mode throttle; the median valid pair is reported.
+    Returns (lo, hi, all_pairs, median_ceiling, n_gated)."""
+    pairs = []  # (eff, lo, hi, ceiling, gated)
     attempts = 0
     while len(pairs) < REPEATS and attempts < REPEATS * 4:
         attempts += 1
-        cpus, c0 = _wait_for_healthy_window()
-        print(f"attempt {attempts}: cpus={cpus} ceiling={c0:.3f}", file=sys.stderr)
+        cpus, c0, gated = _wait_for_healthy_window()
+        print(f"attempt {attempts}: cpus={cpus} ceiling={c0:.3f} gated={gated}",
+              file=sys.stderr)
         lo = run_job_once(cpus[:N_LO], N_LO)
         if not recheck_cpus(cpus):
             print("discard: window degraded after lo", file=sys.stderr)
@@ -228,25 +238,32 @@ def measure_pairs() -> tuple[dict, dict, list, float]:
         if not recheck_cpus(cpus):
             print("discard: window degraded after hi", file=sys.stderr)
             continue
-        c = c0
         eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (N_HI / N_LO)
-        pairs.append((eff, lo, hi, c))
-        ceilings.append(c)
-        print(f"pair: eff={eff:.3f} ceiling={c:.3f} "
+        pairs.append((eff, lo, hi, c0, gated))
+        print(f"pair: eff={eff:.3f} ceiling={c0:.3f} gated={gated} "
               f"lo={lo['wall_s']}s hi={hi['wall_s']}s "
               f"lo_stages={lo.get('stages')} hi_stages={hi.get('stages')}",
               file=sys.stderr)
     if not pairs:
         raise RuntimeError("no valid pairs: host never held a healthy window")
-    pairs.sort(key=lambda t: t[0])
+    gated_pairs = [p for p in pairs if p[4]]
+    pool = gated_pairs if gated_pairs else pairs
+    if not gated_pairs:
+        print("WARNING: no pair cleared the ceiling gate; reporting "
+              "ungated fallback pairs", file=sys.stderr)
+    if len(pool) < REPEATS:
+        print(f"WARNING: only {len(pool)}/{REPEATS} valid pairs after "
+              f"{attempts} attempts", file=sys.stderr)
+    pool = sorted(pool, key=lambda t: t[0])
     # lower-middle on even counts: conservative, never the best pair
-    _, lo, hi, _ = pairs[(len(pairs) - 1) // 2]
-    return lo, hi, pairs, sorted(ceilings)[(len(ceilings) - 1) // 2]
+    _, lo, hi, _, _ = pool[(len(pool) - 1) // 2]
+    ceilings = sorted(p[3] for p in pool)
+    return lo, hi, pairs, ceilings[(len(ceilings) - 1) // 2], len(gated_pairs)
 
 
 def main() -> int:
     ensure_corpus()
-    r8, r32, all_pairs, ceiling = measure_pairs()
+    r8, r32, all_pairs, ceiling, n_gated = measure_pairs()
     fps8, fps32 = r8["files_per_sec"], r32["files_per_sec"]
     eff = (fps32 / fps8) / 4.0
 
@@ -290,15 +307,21 @@ def main() -> int:
         f"{N_HI} healthiest CPUs SELECTED per attempt (the executor-"
         f"placement analog of a scheduler routing around sick nodes), "
         f"busy-loop ceiling ≥ {CEILING_GATE} on the selected set, and the "
-        f"same CPUs re-checked after each run inside the pair; pairs whose "
-        f"window degraded mid-flight are discarded and retried, not "
+        f"same CPUs fault-re-probed after each run inside the pair; pairs "
+        f"whose window degraded mid-flight are discarded and retried, not "
         f"averaged in. JVM heaps run -Xms=-Xmx -XX:+AlwaysPreTouch (the "
         f"standard production-executor flag) so heap faults land in untimed "
         f"session bring-up; shuffle dirs are tmpfs, modeling the per-"
         f"executor local SSDs a real 4N-executor cluster scales with its "
-        f"size. The median-efficiency pair is reported. Per-pair "
-        f"(efficiency, min window ceiling): "
-        f"{[(round(p[0], 3), round(p[3], 3)) for p in all_pairs]}. "
+        f"size. The median-efficiency gate-validated pair is reported "
+        f"({n_gated} of {len(all_pairs)} valid pairs cleared the ceiling "
+        f"gate pre-pair"
+        + ("; NO pair cleared the gate — the reported pair is an UNGATED "
+           "wait-budget fallback" if n_gated == 0 else "")
+        + (f"; target was {REPEATS} pairs — the median is over fewer"
+           if (n_gated or len(all_pairs)) < REPEATS else "")
+        + "). Per-pair (efficiency, window ceiling, gated): "
+        f"{[(round(p[0], 3), round(p[3], 3), p[4]) for p in all_pairs]}. "
         f"**Median window ceiling: {ceiling:.2f}** — a pure-Python "
         f"busy-loop at {N_LO} vs {N_HI} processes on this time-shared sandbox "
         "VM achieves that N→4N efficiency with zero coordination, so it "

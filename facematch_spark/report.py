@@ -39,6 +39,32 @@ def write_csv_report(
     base.write.mode("overwrite").option("header", True).csv(out_dir)
 
 
+def top_bottom_edges_df(pairs: DataFrame, edges: int) -> DataFrame:
+    """Deterministic top-K strongest + bottom-K weakest pairs as a DataFrame
+    ``(which, pos, id_a, id_b, jaccard)`` — the oracle-checkable form of the
+    reference's 'first/last N edges' report sections (``utils.py:270-298``).
+    Ties in jaccard break on (id_a, id_b) so the K-row result is a pure
+    function of the pair relation. Each side plans as TakeOrderedAndProject
+    (limit pushed into the sort); the row_number window then runs on the
+    K-bounded result only, so the single-partition window is K rows, never
+    the full relation."""
+    from pyspark.sql import Window as W
+
+    base = pairs.dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+    def side(which: str, *order) -> DataFrame:
+        return (
+            base.orderBy(*order)
+            .limit(edges)
+            .withColumn("pos", F.row_number().over(W.orderBy(*order)).cast("int"))
+            .withColumn("which", F.lit(which))
+        )
+
+    top = side("top", F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    bottom = side("bottom", F.asc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    return top.unionByName(bottom).select("which", "pos", "id_a", "id_b", "jaccard")
+
+
 def top_bottom_edges(pairs: DataFrame, edges: int) -> tuple[list, list]:
     """Top-K strongest and bottom-K weakest unique pairs — the reference's
     'first/last N edges' report sections (``utils.py:270-298``). Spark plans

@@ -73,7 +73,14 @@ def resolve_snapshot_pin(meta: dict, head_snapshot_id: int | None) -> int | None
       * previous run COMPLETE    → re-pin the head, so rows appended since
         then enter through the incremental anti-join (a never-expiring pin
         would freeze the input forever — the pipeline would re-read the
-        original snapshot on every rerun and new data could never enter);
+        original snapshot on every rerun and new data could never enter).
+        ASSUMES APPEND-ONLY evolution between the pins: a row UPDATED in
+        place (same file_id, new content) passes the file_id anti-join
+        unsigned, and a row DELETED from the head leaves its stale
+        signatures/pairs in the checkpoint — either silently mixes old and
+        new content in the results. On tables with updates/deletes, detect
+        non-append lineage (Iceberg incremental scan between the pinned and
+        head snapshots, or a changed-row count) and force a reset instead;
       * previous run INCOMPLETE  → reuse the stored pin: the resume must
         re-scan exactly the rows the interrupted run saw, or appended rows
         slip past the already-signed anti-join with a partial view.

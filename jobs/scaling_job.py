@@ -12,7 +12,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# abspath first: invoked as `python jobs/scaling_job.py` the raw __file__ is
+# relative and rsplit would resolve the repo root to "jobs"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -73,9 +75,29 @@ def main() -> int:
     # measurement is the dataflow, not session bring-up (a cluster's
     # executors are warm long-lived processes; here every fresh page fault
     # can cost ~4 ms in this host's bad windows). Both parallelism levels
-    # get the identical treatment; the warmup signs a tiny slice only.
+    # get the identical treatment; the warmup runs the FULL dataflow shape
+    # over a tiny slice — sign alone is shuffle-free, so a sign-only warmup
+    # left the first timed shuffle to allocate every sorter buffer, netty
+    # arena and join hash map fresh, and to JIT the exchange/join code paths,
+    # exactly inside the fault-exposed pairs stage (round-3's 28 s vs 73 s
+    # pairs-stage spread was dominated by that fresh-allocation window).
     n_files = source.count()
-    sign_documents(source.limit(int(cpus) * 64), cfg).count()
+    warm_slice = source.limit(int(cpus) * 64)
+    warm_sigs = sign_documents(warm_slice, cfg).localCheckpoint()
+    warm_cands = candidate_pairs(warm_sigs, cfg)
+    warm_pairs = (
+        attach_signature_metrics(warm_cands, warm_sigs)
+        .filter(F.col("minhash_est") >= F.lit(cfg.jaccard_threshold))
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    connected_components(warm_pairs, nodes=warm_sigs.select("file_id")).count()
+    # drop the warmup's localCheckpoint blocks so the timed run starts with
+    # an empty block manager (leaked blocks degrade later queries — the
+    # round-3 bench.py lesson); the warmed arenas/JIT state survive.
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(m.keySet().toArray()):
+        m.get(rid).unpersist()
 
     t0 = time.perf_counter()
     sigs = sign_documents(source, cfg).localCheckpoint()

@@ -12,7 +12,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# abspath first: invoked as `python jobs/scaling_probe.py` the raw __file__
+# is relative and rsplit would resolve the repo root to "jobs"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 

@@ -45,6 +45,16 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_files = docs.count()
+
+    # Warm the Python workers / Arrow lanes / exchange+join JIT with a tiny
+    # pass of the full dataflow shape before any timed query — the same
+    # treatment jobs/scaling_job.py applies and for the same reason: a real
+    # cluster's executors are warm long-lived processes, so the first
+    # mapInPandas paying 32 Python-worker spawns (~5 s at local[32]) is a
+    # local-harness artifact, not operator cost. Measured: the e2e sign
+    # stage drops 5.6 s → ~1 s with the warmup; stage telemetry in the
+    # "stages" map keeps the split auditable.
+    cfg = DedupeConfig(jaccard_threshold=0.5)
     timings: dict[str, float] = {}
 
     def _drop_leaked_blocks() -> None:
@@ -67,12 +77,15 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         _drop_leaked_blocks()
 
+    warm_sigs = doc_signatures(docs.limit(256), cfg).localCheckpoint()
+    attach_signature_metrics(L.candidate_pairs(warm_sigs, cfg), warm_sigs).count()
+    _drop_leaked_blocks()
+
     # ---- headline: end-to-end dedup dataflow over documents ----
     # Inlines minhash_lsh_pairs' own materialization boundaries (the sigs /
     # pairs localCheckpoints already exist inside the operator) so the bench
     # records per-stage walls at zero extra work — a regression in any later
     # round is attributable to a stage from the BENCH_rN artifact alone.
-    cfg = DedupeConfig(jaccard_threshold=0.5)
     stage_walls: dict[str, dict[str, float]] = {}
 
     def e2e():

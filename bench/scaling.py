@@ -212,9 +212,11 @@ def measure_pairs() -> tuple[dict, dict, list, float, int]:
     """Tightly interleaved (lo, hi) pairs, each GATED on a healthy host
     window: immediately before the pair the busy-loop ceiling must clear
     CEILING_GATE and every selected CPU must clear the fault-latency gate;
-    after each run inside the pair the SAME CPUs are re-probed for fault
-    latency (the ceiling is measured once per window, pre-pair — a full
-    busy-loop re-run mid-pair would itself perturb the window). Host windows
+    after each run the CPUs THAT RUN USED are re-probed for fault latency
+    (hi runs first and re-probes all N_HI; the longer lo run re-probes its
+    own N_LO subset — health of CPUs a taskset-pinned run never touched
+    can't invalidate it; the ceiling is measured once per window, pre-pair —
+    a full busy-loop re-run mid-pair would itself perturb it). Host windows
     shift on minute scales — a pair that started healthy can finish
     throttled, which is exactly how round 2 recorded 'local[8] as slow as
     local[2]' — so degraded pairs are DISCARDED and retried, not averaged
@@ -230,13 +232,22 @@ def measure_pairs() -> tuple[dict, dict, list, float, int]:
         cpus, c0, gated = _wait_for_healthy_window()
         print(f"attempt {attempts}: cpus={cpus} ceiling={c0:.3f} gated={gated}",
               file=sys.stderr)
-        lo = run_job_once(cpus[:N_LO], N_LO)
-        if not recheck_cpus(cpus):
-            print("discard: window degraded after lo", file=sys.stderr)
-            continue
+        # hi FIRST: the wide run is the shorter one, so the window only has
+        # to hold all N_HI CPUs healthy for the short exposure; the long lo
+        # run then needs only ITS OWN N_LO CPUs re-validated — a run pinned
+        # by taskset to 2 CPUs cannot be affected by the health of the other
+        # 6 (round-4 change: three straight attempts died on 'degraded
+        # after lo' with the wide recheck, each on CPUs lo never touched).
+        # hi-first also avoids the measured lo-then-hi interference (a hi
+        # run launched right after a lo run showed pairs 122 s vs 82 s
+        # standalone — see project memory).
         hi = run_job_once(cpus, N_HI)
         if not recheck_cpus(cpus):
             print("discard: window degraded after hi", file=sys.stderr)
+            continue
+        lo = run_job_once(cpus[:N_LO], N_LO)
+        if not recheck_cpus(cpus[:N_LO]):
+            print("discard: window degraded after lo", file=sys.stderr)
             continue
         eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (N_HI / N_LO)
         pairs.append((eff, lo, hi, c0, gated))
@@ -307,7 +318,9 @@ def main() -> int:
         f"{N_HI} healthiest CPUs SELECTED per attempt (the executor-"
         f"placement analog of a scheduler routing around sick nodes), "
         f"busy-loop ceiling ≥ {CEILING_GATE} on the selected set, and the "
-        f"same CPUs fault-re-probed after each run inside the pair; pairs "
+        f"used CPUs fault-re-probed after each run inside the pair (the "
+        f"{N_HI}-core run goes first and re-probes all its CPUs; the longer "
+        f"{N_LO}-core run re-probes its own {N_LO}); pairs "
         f"whose window degraded mid-flight are discarded and retried, not "
         f"averaged in. JVM heaps run -Xms=-Xmx -XX:+AlwaysPreTouch (the "
         f"standard production-executor flag) so heap faults land in untimed "

@@ -169,7 +169,7 @@ def pick_healthy_cpus() -> list[int] | None:
     return sorted(c for _, c in healthy[:N_HI])
 
 
-def recheck_cpus(cpu_list: list[int]) -> bool:
+def recheck_cpus(cpu_list: list[int]) -> tuple[bool, bool]:
     """Post-run validation: the CPUs the run USED must still be fault-healthy
     (allow 2× the pick gate — the run itself warms allocator pools, and a
     marginal drift shouldn't discard an otherwise-clean pair). A single
@@ -178,20 +178,23 @@ def recheck_cpus(cpu_list: list[int]) -> bool:
     genuinely pathological ones sit at 300-1000 ms for minutes — so CPUs
     failing the first probe get ONE re-probe and only a repeated failure
     discards the pair (noise reduction, not gate weakening: a dead CPU
-    fails both)."""
+    fails both). Returns ``(ok, reprobed)`` — ``reprobed`` marks pairs that
+    needed the retry, carried into the published per-pair record so a pair
+    whose tail MAY have run in a degraded instant is distinguishable
+    (ADVICE r4: the retry can land seconds later in a recovered window)."""
     scan = fault_scan(cpu_list)
     bad = [c for c, ms in scan.items() if ms > 2 * FAULT_MS_GATE]
     if not bad:
-        return True
+        return True, False
     rescan = fault_scan(bad)
     still_bad = {c: (round(scan[c]), round(ms)) for c, ms in rescan.items()
                  if ms > 2 * FAULT_MS_GATE}
     if still_bad:
         print(f"recheck failed on {still_bad} (first, retry ms)", file=sys.stderr)
-        return False
+        return False, True
     print(f"recheck passed on retry: {[(c, round(scan[c])) for c in bad]}",
           file=sys.stderr)
-    return True
+    return True, True
 
 
 def _wait_for_healthy_window() -> tuple[list[int], float, bool]:
@@ -255,16 +258,19 @@ def measure_pairs() -> tuple[dict, dict, list, float, int]:
         # run launched right after a lo run showed pairs 122 s vs 82 s
         # standalone — see project memory).
         hi = run_job_once(cpus, N_HI)
-        if not recheck_cpus(cpus):
+        ok, reprobed_hi = recheck_cpus(cpus)
+        if not ok:
             print("discard: window degraded after hi", file=sys.stderr)
             continue
         lo = run_job_once(cpus[:N_LO], N_LO)
-        if not recheck_cpus(cpus[:N_LO]):
+        ok, reprobed_lo = recheck_cpus(cpus[:N_LO])
+        if not ok:
             print("discard: window degraded after lo", file=sys.stderr)
             continue
         eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (N_HI / N_LO)
-        pairs.append((eff, lo, hi, c0, gated))
+        pairs.append((eff, lo, hi, c0, gated, reprobed_hi or reprobed_lo))
         print(f"pair: eff={eff:.3f} ceiling={c0:.3f} gated={gated} "
+              f"reprobed={reprobed_hi or reprobed_lo} "
               f"lo={lo['wall_s']}s hi={hi['wall_s']}s "
               f"lo_stages={lo.get('stages')} hi_stages={hi.get('stages')}",
               file=sys.stderr)
@@ -280,7 +286,7 @@ def measure_pairs() -> tuple[dict, dict, list, float, int]:
               f"{attempts} attempts", file=sys.stderr)
     pool = sorted(pool, key=lambda t: t[0])
     # lower-middle on even counts: conservative, never the best pair
-    _, lo, hi, _, _ = pool[(len(pool) - 1) // 2]
+    _, lo, hi, _, _, _ = pool[(len(pool) - 1) // 2]
     ceilings = sorted(p[3] for p in pool)
     return lo, hi, pairs, ceilings[(len(ceilings) - 1) // 2], len(gated_pairs)
 
@@ -290,6 +296,15 @@ def main() -> int:
     r8, r32, all_pairs, ceiling, n_gated = measure_pairs()
     fps8, fps32 = r8["files_per_sec"], r32["files_per_sec"]
     eff = (fps32 / fps8) / 4.0
+
+    # full-pool statistics for the published record (VERDICT r4 #1: either a
+    # single gate-validated pair ≥ 0.8, or ≥3 validated pairs with their
+    # ceiling-normalized median): per-pair normalized efficiency divides by
+    # THAT pair's own window ceiling — the honest per-window bound.
+    pool = [p for p in all_pairs if p[4]] or all_pairs
+    norm = sorted(min(p[0] / p[3], 1.0) for p in pool)
+    norm_median = norm[(len(norm) - 1) // 2]
+    best_eff, _, _, best_ceiling, _, best_reprobed = max(pool, key=lambda p: p[0])
 
     # per-query table at sf0.1 from the headline bench (single local[32] run)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -346,8 +361,12 @@ def main() -> int:
            "wait-budget fallback" if n_gated == 0 else "")
         + (f"; target was {REPEATS} pairs — the median is over fewer"
            if (n_gated or len(all_pairs)) < REPEATS else "")
-        + "). Per-pair (efficiency, window ceiling, gated): "
-        f"{[(round(p[0], 3), round(p[3], 3), p[4]) for p in all_pairs]}. "
+        + "). Per-pair (efficiency, window ceiling, gated, fault-reprobe-needed): "
+        f"{[(round(p[0], 3), round(p[3], 3), p[4], p[5]) for p in all_pairs]}. "
+        f"**Best validated pair: {best_eff:.3f}** (window ceiling "
+        f"{best_ceiling:.3f}, reprobed={best_reprobed}); **median per-pair "
+        f"ceiling-normalized efficiency over the {len(pool)} valid pairs: "
+        f"{norm_median:.3f}**. "
         f"**Median window ceiling: {ceiling:.2f}** — a pure-Python "
         f"busy-loop at {N_LO} vs {N_HI} processes on this time-shared sandbox "
         "VM achieves that N→4N efficiency with zero coordination, so it "
@@ -406,6 +425,9 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"fps8": fps8, "fps32": fps32, "efficiency": round(eff, 3),
+                      "best_pair_efficiency": round(best_eff, 3),
+                      "norm_median_efficiency": round(norm_median, 3),
+                      "n_gated_pairs": n_gated,
                       "bench_sf": bench["sf"], "bench_files_per_sec": bench["files_per_sec"]}))
     return 0
 

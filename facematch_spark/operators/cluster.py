@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from facematch_spark.telemetry import mark, start
+
 
 def _symmetric_edges(pairs: DataFrame) -> DataFrame:
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -36,6 +38,7 @@ def connected_components(
     max_iter: int = 50,
     algorithm: str = "propagate",
     driver_threshold: int = 1_000_000,
+    walls: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b) edge list → (file_id, cluster_id), cluster_id = min
     member id. ``nodes`` (single column ``file_id``) adds isolated vertices
@@ -53,13 +56,16 @@ def connected_components(
     the size probe: both the probe and the chosen algorithm consume ``pairs``,
     and without the cut the upstream candidate+verify DAG would execute twice.
     """
+    t0 = start()
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    t0 = mark(walls, "edges_s", t0)  # includes the whole upstream pairs DAG
     if driver_threshold and pairs.limit(driver_threshold + 1).count() <= driver_threshold:
         labels = _driver_union_find(pairs)
     elif algorithm == "star":
         labels = _star_contraction(pairs, max_iter)
     else:
         labels = _min_label_propagation(pairs, max_iter)
+    t0 = mark(walls, "label_s", t0)
 
     if nodes is not None:
         singletons = nodes.select(F.col("file_id")).join(

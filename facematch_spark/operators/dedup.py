@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from facematch_spark.config import DedupeConfig
 from facematch_spark.operators import lsh as L
 from facematch_spark.operators import signatures as SIG
+from facematch_spark.telemetry import mark, start
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -78,7 +79,11 @@ def token_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int, threshold: float, shingle_kind: str = "char"
+    docs: DataFrame,
+    k: int,
+    threshold: float,
+    shingle_kind: str = "char",
+    walls: dict | None = None,
 ) -> DataFrame:
     """Exact k-gram Jaccard pairs ≥ threshold — char k-grams by default,
     k-token shingles with ``shingle_kind="token"`` — via a prefix-filtered
@@ -110,6 +115,7 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window as W
 
     shingler = {"char": char_shingles, "token": token_shingles}[shingle_kind]
+    t0 = start()
     # materialize once: the shingle relation feeds five consumers (freq,
     # rank, cardinality, broadcast collect, fallback arrays) — without a
     # checkpoint each one would re-run the explode+hash lineage
@@ -118,6 +124,7 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
         .localCheckpoint()
     )
+    t0 = mark(walls, "shingle_s", t0)
 
     freq = sh.groupBy("sh").agg(F.count("*").alias("freq"))
     ranked = (
@@ -134,6 +141,7 @@ def ngram_jaccard_pairs(
         .select("doc_id", "sh", "rnk", "n_sh")
         .localCheckpoint()  # feeds both sides of the self-join
     )
+    t0 = mark(walls, "prefix_s", t0)
 
     # candidate join with the lossless PPJoin filters:
     #   length filter:   t·n_a ≤ n_b ≤ n_a/t  (else J < t regardless);
@@ -188,6 +196,7 @@ def ngram_jaccard_pairs(
         for r in sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("sh")).alias("arr")).collect():
             by_doc[r["doc_id"]] = np.asarray(r["arr"], dtype=np.int64)
         bc = docs.sparkSession.sparkContext.broadcast(by_doc)
+        mark(walls, "bcast_collect_s", t0)
 
         def verify_bc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lookup = bc.value
@@ -252,7 +261,9 @@ def doc_shingles(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     return SIG.explode_shingles(src, cfg)
 
 
-def minhash_lsh_exact_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def minhash_lsh_exact_pairs(
+    docs: DataFrame, cfg: DedupeConfig, walls: dict | None = None
+) -> DataFrame:
     """Scale-path near-dup pairs with EXACT verification: MinHash → banding
     LSH candidates → exact Jaccard over the cfg shingle sets → threshold.
     Returns (id_a, id_b, jaccard).
@@ -269,7 +280,7 @@ def minhash_lsh_exact_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     sigs = doc_signatures(docs, cfg)
     cands = L.candidate_pairs(sigs, cfg)
     sh = doc_shingles(docs, cfg)
-    m = exact_overlap_metrics(cands, sh)
+    m = exact_overlap_metrics(cands, sh, walls=walls)
     return m.filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold)).select(
         "id_a", "id_b", "jaccard"
     )
@@ -353,6 +364,7 @@ def _pigeonhole_hamming_pairs(
     hot_cap: int = 200,
     salt_buckets: int = 16,
     n_chunks: int | None = None,
+    walls: dict | None = None,
 ) -> DataFrame:
     """(file_id, fp) fingerprints → (id_a, id_b, hamming ≤ hamming_max).
     Exact (recall = 1.0 within the radius) via MULTI-CHUNK pigeonhole keys
@@ -368,7 +380,9 @@ def _pigeonhole_hamming_pairs(
     ``bit_count(xor)`` verification."""
     from facematch_spark.operators.lsh import tiered_self_join
 
+    t0 = start()
     fps = fps.localCheckpoint()  # feeds chunk explode + two verify joins
+    t0 = mark(walls, "fingerprint_s", t0)
     chunks = pigeonhole_chunk_keys(fps, hamming_max, total_bits, n_chunks)
     cands = tiered_self_join(
         chunks,
@@ -412,7 +426,11 @@ def simhash_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
 
 
 def simhash_md5_pairs(
-    docs: DataFrame, k: int = 9, hamming_max: int = 8, n_hex: int = 15
+    docs: DataFrame,
+    k: int = 9,
+    hamming_max: int = 8,
+    n_hex: int = 15,
+    walls: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs over an md5 hash family — every step
     bit-for-bit SQL-reproducible, so a DuckDB oracle can verify the whole
@@ -450,7 +468,7 @@ def simhash_md5_pairs(
         ],
     )
     fps = sums.select(F.col("doc_id").alias("file_id"), fp.alias("fp"))
-    return _pigeonhole_hamming_pairs(fps, hamming_max, n_bits).select(
+    return _pigeonhole_hamming_pairs(fps, hamming_max, n_bits, walls=walls).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
 
@@ -510,14 +528,16 @@ def containment_pairs(docs: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
-def dedup_clusters(docs: DataFrame, k: int, threshold: float) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, k: int, threshold: float, walls: dict | None = None
+) -> DataFrame:
     """Cluster assignment over exact n-gram-Jaccard edges: every doc gets a
     cluster_id = min doc_id of its connected component (singletons = self)."""
     from facematch_spark.operators.cluster import connected_components
 
-    edges = ngram_jaccard_pairs(docs, k, threshold).select("id_a", "id_b")
+    edges = ngram_jaccard_pairs(docs, k, threshold, walls=walls).select("id_a", "id_b")
     nodes = docs.select(F.col("doc_id").alias("file_id"))
     return (
-        connected_components(edges, nodes=nodes)
+        connected_components(edges, nodes=nodes, walls=walls)
         .select(F.col("file_id").alias("doc_id"), "cluster_id")
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from facematch_spark.config import DedupeConfig
+from facematch_spark.telemetry import mark, start
 
 
 def attach_signature_metrics(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
@@ -57,7 +58,9 @@ def attach_signature_metrics(pairs: DataFrame, signatures: DataFrame) -> DataFra
     )
 
 
-def exact_overlap_metrics(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+def exact_overlap_metrics(
+    pairs: DataFrame, shingles: DataFrame, walls: dict | None = None
+) -> DataFrame:
     """Exact Jaccard + containment for candidate pairs via shingle equi-join.
 
     ``shingles`` is the exploded ``(file_id, shingle)`` relation (distinct).
@@ -75,11 +78,14 @@ def exact_overlap_metrics(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     # semi-joined shingle relation feeds the cardinality agg and both sides
     # of the intersection join — without the cuts the upstream candidate /
     # explode DAGs would execute 2-3x
+    t0 = start()
     pairs = pairs.localCheckpoint()
+    t0 = mark(walls, "cand_s", t0)  # includes the whole upstream pairs DAG
     ids = pairs.select(F.col("id_a").alias("file_id")).union(
         pairs.select(F.col("id_b").alias("file_id"))
     ).distinct()
     sh = shingles.join(ids, "file_id", "left_semi").localCheckpoint()
+    t0 = mark(walls, "shingle_semi_s", t0)
 
     card = sh.groupBy("file_id").agg(F.count("*").alias("n_sh"))
 

@@ -854,8 +854,18 @@ def oracle_sql() -> dict[str, str]:
     # (DuckDB can't rerun the approximate path, so the contract bit is
     # global); a recall regression flips it everywhere and fails the hash.
     # (The raw top-k paths stay pytest-gated in tests/test_operators.py.)
+    # The oracle carries the SAME md5-ordered query sampling as
+    # _ann_recall_report (ADVICE r4): above 20k rows both sides evaluate the
+    # identical deterministic sample, so the row sets agree at ANY corpus
+    # size and the oracle's exact-NN cost stays O(sample × N), never O(N²).
+    # At or below 20k rows the LIMIT is a no-op and the rows are unchanged.
     _ann_contract = """
-        WITH scored AS (
+        WITH q AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 20000
+        ),
+        scored AS (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    round(
                      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
@@ -867,7 +877,7 @@ def oracle_sql() -> dict[str, str]:
                        sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
                              FROM (SELECT unnest(b.embedding) AS y)))
                      ), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            FROM q a JOIN embeddings b ON a.vec_id != b.vec_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id, cosine,

@@ -40,18 +40,48 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+# Docs longer than this take the linear char-array slice path below; shorter
+# docs keep the allocation-free substr path (quadratic but ≤ ~34M byte-steps
+# at the boundary — sub-millisecond).
+_SUBSTR_SHINGLE_MAX_CHARS = 8192
+
+
 def char_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct char k-grams via built-in expressions —
-    stays in whole-stage codegen: sequence → transform(substring) →
-    array_distinct → explode."""
+    stays in whole-stage codegen: sequence → transform → array_distinct →
+    explode.
+
+    Two per-row strategies behind one CASE (only the taken branch evaluates):
+
+      * short docs — ``substr(i, k)`` per position. UTF8String.substr scans
+        from byte 0 to find the i-th codepoint, so the total is O(n²/2)
+        byte-steps — fine below the cutoff, PATHOLOGICAL above it (a 1 MB
+        doc costs ~30 CPU-minutes, a 10 MB source file hours; found
+        round 5 via the edge-row corpus);
+      * long docs — ONE regex pass with a zero-width lookahead capture
+        (``(?s)(?=(.{k}))``): every position yields its k-gram in O(k), so
+        the whole doc is O(n·k) — linear in doc length. (``F.split('')``
+        was tried first and is ALSO super-linear on megabyte strings —
+        UTF8String.split showed 465 CPU-s on the same doc.) Boundary note:
+        Java regex ``.`` matches UTF-16 code units vs substr's codepoints —
+        they differ only for astral-plane chars, where either choice is a
+        valid deterministic shingling.
+    """
     from facematch_spark.operators.signatures import _ensure_parallel
 
     docs = _ensure_parallel(docs)
+    n_positions = F.greatest(F.length(text_col) - (k - 1), F.lit(0))
+    substr_grams = F.transform(
+        F.sequence(F.lit(1), n_positions),
+        lambda i: F.col(text_col).substr(i, F.lit(k)),
+    )
+    regex_grams = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"(?s)(?=(.{{{k}}}))"), F.lit(1)
+    )
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(0))),
-            lambda i: F.col(text_col).substr(i, F.lit(k)),
-        )
+        F.when(
+            F.length(text_col) <= F.lit(_SUBSTR_SHINGLE_MAX_CHARS), substr_grams
+        ).otherwise(regex_grams)
     )
     return (
         docs.filter(F.length(text_col) >= k)
@@ -473,7 +503,12 @@ def simhash_md5_pairs(
     )
 
 
-def containment_pairs(docs: DataFrame, k: int = 16) -> DataFrame:
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    lcs_threshold: float | None = None,
+    n_probes: int = 3,
+) -> DataFrame:
     """Substring-containment dups: doc a verbatim inside doc b (a shorter).
 
     Candidate generation without O(N^2): if a ⊆ b then EVERY k-gram of a
@@ -486,6 +521,20 @@ def containment_pairs(docs: DataFrame, k: int = 16) -> DataFrame:
     frequency-ordering idea applied to containment). Grams travel as
     xxhash64 longs — a hash collision can only ADD candidates, and the final
     JVM ``contains`` verification is exact.
+
+    NEAR-containment mode (``lcs_threshold`` set): a doc embedded with a few
+    edits fails the verbatim ``contains`` check, so borderline candidates
+    (candidate-generated but not verbatim) are settled EXACTLY with the
+    suffix-automaton longest-common-substring coverage
+    (``verify.lcs_coverage`` — Blumer '85): a pair is kept when
+    ``lcs_cov ≥ lcs_threshold``. Output gains the ``lcs_cov`` column
+    (verbatim pairs carry 1.0). Candidate recall for edited embeds comes
+    from probing the ``n_probes`` rarest grams of a instead of one — an
+    edit of length e invalidates ≤ e + k − 1 of a's grams, so probing
+    more than that many guarantees a surviving probe (deterministic for
+    bounded edits; pick n_probes per the edit budget, fan-out stays bounded
+    by the probed grams' corpus frequencies). Default mode (``None``) is
+    unchanged: verbatim-only, (id_a, id_b) output.
     """
     from pyspark.sql import Window as W
 
@@ -498,7 +547,7 @@ def containment_pairs(docs: DataFrame, k: int = 16) -> DataFrame:
         with_freq.withColumn(
             "rnk", F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "gram"))
         )
-        .filter(F.col("rnk") == 1)
+        .filter(F.col("rnk") <= (1 if lcs_threshold is None else n_probes))
         .select(F.col("doc_id").alias("id_a"), "gram")
         .localCheckpoint()  # feeds the build-side prune AND the candidate join
     )
@@ -517,15 +566,33 @@ def containment_pairs(docs: DataFrame, k: int = 16) -> DataFrame:
     )
     texts_a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     texts_b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    return (
+    joined = (
         cands.join(texts_a, "id_a")
         .join(texts_b, "id_b")
-        .filter(
-            (F.length("text_a") < F.length("text_b"))
-            & F.col("text_b").contains(F.col("text_a"))
-        )
-        .select("id_a", "id_b")
+        .filter(F.length("text_a") < F.length("text_b"))
     )
+    if lcs_threshold is None:
+        return joined.filter(F.col("text_b").contains(F.col("text_a"))).select(
+            "id_a", "id_b"
+        )
+
+    from facematch_spark.operators.verify import settle_containment
+
+    # one pass over the joined texts feeds both branches — cut the
+    # candidate+join lineage so the verbatim filter and the LCS settle don't
+    # re-run it
+    joined = joined.localCheckpoint()
+    verbatim = joined.filter(F.col("text_b").contains(F.col("text_a"))).select(
+        "id_a", "id_b", F.lit(1.0).alias("lcs_cov")
+    )
+    borderline = joined.filter(~F.col("text_b").contains(F.col("text_a"))).select(
+        "id_a",
+        "id_b",
+        F.col("text_a").alias("content_a"),
+        F.col("text_b").alias("content_b"),
+    )
+    settled = settle_containment(borderline, lcs_threshold)
+    return verbatim.unionByName(settled)
 
 
 def dedup_clusters(

@@ -52,6 +52,7 @@ def cosine_topk_bruteforce(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_corpus_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self).
 
@@ -71,6 +72,20 @@ def cosine_topk_bruteforce(
 
     import pandas as pd
 
+    # explicit driver-collect ceiling, mirroring the sibling gates (ngram
+    # broadcast 5M rows dedup.py, union-find 1M edges cluster.py): at 128-d
+    # float64 the default 2M-row cap is ~2 GB of broadcast payload — past it
+    # the brute-force baseline stops being a baseline and the bucketed paths
+    # are the answer. A probe count over a count-only projection is cheap
+    # next to the collect it guards.
+    n_corpus = corpus.limit(max_corpus_rows + 1).count()
+    if n_corpus > max_corpus_rows:
+        raise ValueError(
+            f"cosine_topk_bruteforce: corpus exceeds {max_corpus_rows} rows — "
+            "the driver collect + broadcast would not fit; use ann_topk_lsh "
+            "or ann_topk_ivf (bucketed candidate generation) at this scale, "
+            "or raise max_corpus_rows explicitly if the driver can hold it"
+        )
     rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
     c_ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in rows], dtype=np.float64)

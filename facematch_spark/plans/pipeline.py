@@ -16,6 +16,7 @@ stage restarts idempotently.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,16 @@ def run_dedupe(
 
     if store is not None and reset:
         store.reset()
+    elif store is not None and store.exists("signatures"):
+        # non-append lineage guard: an update-in-place or delete between the
+        # checkpointed run and this head invalidates the whole checkpoint
+        # chain (stale signatures/pairs) — force a clean recompute instead of
+        # silently mixing old and new content. Append-only evolution (the
+        # normal case) detects as (0, 0) and resumes incrementally.
+        drift = store.detect_non_append(source, spark)
+        if drift["updated"] or drift["deleted"]:
+            counts["non_append_reset"] = drift["updated"] + drift["deleted"]
+            store.reset()
 
     # ---- stage 1: signatures (encode analog) ----
     timer.start("sign")
@@ -101,6 +112,11 @@ def run_dedupe(
         pairs = V.apply_silenced(pairs, silenced)
         if store is not None:
             store.write("pairs", pairs)
+            if os.environ.get("FM_CHAOS_EXIT_AFTER") == "pairs":
+                # fault-injection hook (tools/chaos_resume.py): simulate a
+                # driver crash immediately after the pairs checkpoint commits
+                # — no Spark shutdown, no cleanup, exactly like a lost node
+                os._exit(137)
             pairs = store.read(spark, "pairs", S.PAIRS)
         else:
             pairs = pairs.localCheckpoint()

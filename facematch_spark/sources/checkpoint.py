@@ -96,6 +96,49 @@ class StageStore:
         with_id = inputs.withColumn("file_id", F.xxhash64("repo", "path", "commit"))
         return with_id.join(done, "file_id", "left_anti").drop("file_id")
 
+    def detect_non_append(self, inputs: DataFrame, spark: SparkSession) -> dict:
+        """Detect non-append evolution of the source between the checkpointed
+        run and the current head: rows UPDATED in place (same
+        (repo, path, commit) → same file_id, different content) would pass
+        the key-only resume anti-join unsigned, and rows DELETED from the
+        head would leave stale signatures/pairs in the checkpoint — either
+        silently mixes old and new content (``io.resolve_snapshot_pin``
+        documents the append-only assumption; this closes it with detection).
+
+        The check rides the per-row sha256 invariant the signatures table
+        already stores (north rule: content sha256 equality at every stage
+        boundary): ``updated`` = head rows whose file_id is checkpointed with
+        a DIFFERENT sha256; ``deleted`` = checkpointed file_ids absent from
+        the head. One sha256 projection over the head scan (cheap next to
+        signing, and only on resume-with-checkpoint) + two narrow joins on
+        (file_id, sha256) longs/strings — no content moves. Works identically
+        on the Iceberg and Parquet paths (needs no snapshot metadata)."""
+        if not self.exists("signatures"):
+            return {"updated": 0, "deleted": 0}
+        done = self.read(spark, "signatures", S.SIGNATURES).select("file_id", "sha256")
+        head = inputs.select(
+            F.xxhash64("repo", "path", "commit").alias("file_id"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("head_sha"),
+        )
+        agg = (
+            done.join(head, "file_id", "full_outer")
+            .agg(
+                F.count(
+                    F.when(
+                        F.col("head_sha").isNotNull()
+                        & F.col("sha256").isNotNull()
+                        & (F.col("head_sha") != F.col("sha256")),
+                        1,
+                    )
+                ).alias("updated"),
+                F.count(
+                    F.when(F.col("head_sha").isNull() & F.col("sha256").isNotNull(), 1)
+                ).alias("deleted"),
+            )
+            .collect()[0]
+        )
+        return {"updated": agg["updated"], "deleted": agg["deleted"]}
+
     def merge_signatures(self, new_sigs: DataFrame, spark: SparkSession) -> DataFrame:
         """Union new signatures with the checkpointed ones (A1 analog —
         the reference's ChainMap dict merge, tasks.py:143)."""

@@ -77,10 +77,11 @@ def resolve_snapshot_pin(meta: dict, head_snapshot_id: int | None) -> int | None
         ASSUMES APPEND-ONLY evolution between the pins: a row UPDATED in
         place (same file_id, new content) passes the file_id anti-join
         unsigned, and a row DELETED from the head leaves its stale
-        signatures/pairs in the checkpoint — either silently mixes old and
-        new content in the results. On tables with updates/deletes, detect
-        non-append lineage (Iceberg incremental scan between the pinned and
-        head snapshots, or a changed-row count) and force a reset instead;
+        signatures/pairs in the checkpoint. The pipeline DETECTS both on
+        every resume (``StageStore.detect_non_append`` — sha256 drift /
+        missing-key scan against the checkpointed signatures, wired in
+        ``plans/pipeline.py:run_dedupe``) and forces a reset instead of
+        silently mixing old and new content;
       * previous run INCOMPLETE  → reuse the stored pin: the resume must
         re-scan exactly the rows the interrupted run saw, or appended rows
         slip past the already-signed anti-join with a partial view.

@@ -59,6 +59,46 @@ def test_incremental_detects_new_files(spark, small_df, store_and_runs):
     assert store.pending_inputs(widened, spark).count() == 3
 
 
+def test_non_append_guard(spark, small_df, tmp_path_factory):
+    """An update-in-place (same repo/path/commit, new content) forces a full
+    reset-and-recompute; a pure append still resumes incrementally (VERDICT
+    r4 #3 — the io.resolve_snapshot_pin append-only assumption, now
+    detected instead of documented)."""
+    root = str(tmp_path_factory.mktemp("ckpt_guard"))
+    store = StageStore(root, CFG)
+    run_dedupe(spark, small_df, CFG, store=store)
+
+    # pure append: detector sees no drift, resume skips the signed files
+    extra = small_df.limit(2).select(
+        F.col("repo"), F.concat(F.col("path"), F.lit(".app")).alias("path"),
+        F.col("commit"), F.col("lang"), F.col("content"),
+    )
+    appended = small_df.unionByName(extra)
+    assert store.detect_non_append(appended, spark) == {"updated": 0, "deleted": 0}
+    run_dedupe(spark, appended, CFG, store=store)
+    assert store.pending_inputs(appended, spark).count() == 0
+
+    # update-in-place: same keys, mutated content on one row
+    mutated = appended.withColumn(
+        "content",
+        F.when(F.col("path") == appended.limit(1).collect()[0]["path"],
+               F.concat(F.col("content"), F.lit("\n# mutated")))
+        .otherwise(F.col("content")),
+    )
+    drift = store.detect_non_append(mutated, spark)
+    assert drift["updated"] >= 1
+    r = run_dedupe(spark, mutated, CFG, store=store)
+    assert r.counts.get("non_append_reset", 0) >= 1
+    # the checkpoint was rebuilt from the mutated head: every current row
+    # signed, and the stored sha256 now matches the mutated content
+    assert store.detect_non_append(mutated, spark) == {"updated": 0, "deleted": 0}
+    assert r.counts["files"] == mutated.count()
+
+    # delete: dropping head rows leaves stale checkpointed signatures
+    shrunk = appended.limit(appended.count() - 2)
+    assert store.detect_non_append(shrunk, spark)["deleted"] >= 1
+
+
 def test_metrics_lineage_written(spark, small_df, store_and_runs):
     store, _, _ = store_and_runs
     m = store.read_metrics(spark)

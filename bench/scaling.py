@@ -134,6 +134,58 @@ def _fault_probe_ms(cpu):
     return (_t.perf_counter() - t0) * 1000
 
 
+def _fault_burst(args):
+    """Repeated 20 MB anonymous-mmap-and-touch for `seconds`; returns pages
+    faulted. Explicit mmap.mmap(-1, …) + munmap per iteration — np.empty
+    would NOT work here: glibc's dynamic mmap threshold grows past 20 MB
+    after the first free, after which 'fresh' allocations reuse a cached
+    arena and the loop measures memset speed (measured: 200 GB/s of fake
+    'faults'). mmap guarantees every touch is a fresh demand fault."""
+    cpu, seconds = args
+    import mmap as _mmap
+    import os as _os
+    import time as _t
+
+    import numpy as np
+
+    _os.sched_setaffinity(0, {cpu})
+    sz = 20 * 1024 * 1024
+    pages = 0
+    t0 = _t.perf_counter()
+    while _t.perf_counter() - t0 < seconds:
+        m = _mmap.mmap(-1, sz)
+        a = np.frombuffer(m, dtype=np.int64)
+        a[::512] = 1  # touch every 4 KB page
+        del a
+        m.close()
+        pages += sz // 4096
+    return pages
+
+
+def fault_ceiling(cpu_list: list[int]) -> float:
+    """Aggregate fresh-page fault THROUGHPUT at N_LO vs N_HI concurrent
+    processes on the selected CPUs — the machine's own N→4N scaling bound
+    for allocation-heavy work. The busy-loop ceiling misses this axis
+    entirely (it allocates nothing): when the hypervisor's fault servicing
+    is a serialized/degraded resource, 4N concurrently-faulting workers
+    (Python heaps, Arrow buffers, shuffle pages) see LESS than 4N× the
+    aggregate fault rate, so a Spark run whose stages allocate at full tilt
+    cannot scale past this bound no matter how clean the per-CPU latency
+    probes look. Measured per pair, reported alongside the busy-loop
+    ceiling; on a real 4N-executor cluster this is 1.0 (each node services
+    its own faults). Motivating observation (round 5): wide runs degraded
+    superlinearly vs narrow ones (hi-sign 2.8× its clean-window best while
+    lo-sign only 1.66×) with every per-CPU latency probe passing."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (N_LO, N_HI):
+        with mp.Pool(n) as p:
+            pages = p.map(_fault_burst, [(c, 2.0) for c in cpu_list[:n]])
+        rates[n] = sum(pages) / 2.0
+    return (rates[N_HI] / rates[N_LO]) / (N_HI / N_LO)
+
+
 def fault_scan(cpus: list[int]) -> dict[int, float]:
     """Per-CPU fresh-page fault latency (ms / 20 MB first-touch) — the
     host-health axis the CPU busy-loop cannot see (faults are serviced by
@@ -246,8 +298,9 @@ def measure_pairs() -> tuple[dict, dict, list, float, int]:
     while len(pairs) < REPEATS and attempts < REPEATS * 4:
         attempts += 1
         cpus, c0, gated = _wait_for_healthy_window()
-        print(f"attempt {attempts}: cpus={cpus} ceiling={c0:.3f} gated={gated}",
-              file=sys.stderr)
+        fc = fault_ceiling(cpus)
+        print(f"attempt {attempts}: cpus={cpus} ceiling={c0:.3f} "
+              f"fault_ceiling={fc:.3f} gated={gated}", file=sys.stderr)
         # hi FIRST: the wide run is the shorter one, so the window only has
         # to hold all N_HI CPUs healthy for the short exposure; the long lo
         # run then needs only ITS OWN N_LO CPUs re-validated — a run pinned
@@ -268,8 +321,9 @@ def measure_pairs() -> tuple[dict, dict, list, float, int]:
             print("discard: window degraded after lo", file=sys.stderr)
             continue
         eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (N_HI / N_LO)
-        pairs.append((eff, lo, hi, c0, gated, reprobed_hi or reprobed_lo))
-        print(f"pair: eff={eff:.3f} ceiling={c0:.3f} gated={gated} "
+        pairs.append((eff, lo, hi, c0, gated, reprobed_hi or reprobed_lo, fc))
+        print(f"pair: eff={eff:.3f} ceiling={c0:.3f} fault_ceiling={fc:.3f} "
+              f"gated={gated} "
               f"reprobed={reprobed_hi or reprobed_lo} "
               f"lo={lo['wall_s']}s hi={hi['wall_s']}s "
               f"lo_stages={lo.get('stages')} hi_stages={hi.get('stages')}",
@@ -286,7 +340,7 @@ def measure_pairs() -> tuple[dict, dict, list, float, int]:
               f"{attempts} attempts", file=sys.stderr)
     pool = sorted(pool, key=lambda t: t[0])
     # lower-middle on even counts: conservative, never the best pair
-    _, lo, hi, _, _, _ = pool[(len(pool) - 1) // 2]
+    _, lo, hi, _, _, _, _ = pool[(len(pool) - 1) // 2]
     ceilings = sorted(p[3] for p in pool)
     return lo, hi, pairs, ceilings[(len(ceilings) - 1) // 2], len(gated_pairs)
 
@@ -304,7 +358,9 @@ def main() -> int:
     pool = [p for p in all_pairs if p[4]] or all_pairs
     norm = sorted(min(p[0] / p[3], 1.0) for p in pool)
     norm_median = norm[(len(norm) - 1) // 2]
-    best_eff, _, _, best_ceiling, _, best_reprobed = max(pool, key=lambda p: p[0])
+    best_eff, _, _, best_ceiling, _, best_reprobed, best_fc = max(pool, key=lambda p: p[0])
+    fcs = sorted(p[6] for p in pool)
+    fc_median = fcs[(len(fcs) - 1) // 2]
 
     # per-query table at sf0.1 from the headline bench (single local[32] run)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -361,18 +417,32 @@ def main() -> int:
            "wait-budget fallback" if n_gated == 0 else "")
         + (f"; target was {REPEATS} pairs — the median is over fewer"
            if (n_gated or len(all_pairs)) < REPEATS else "")
-        + "). Per-pair (efficiency, window ceiling, gated, fault-reprobe-needed): "
-        f"{[(round(p[0], 3), round(p[3], 3), p[4], p[5]) for p in all_pairs]}. "
-        f"**Best validated pair: {best_eff:.3f}** (window ceiling "
-        f"{best_ceiling:.3f}, reprobed={best_reprobed}); **median per-pair "
+        + "). Per-pair (efficiency, busy ceiling, fault ceiling, gated, "
+        "fault-reprobe-needed): "
+        f"{[(round(p[0], 3), round(p[3], 3), round(p[6], 3), p[4], p[5]) for p in all_pairs]}. "
+        f"**Best validated pair: {best_eff:.3f}** (busy ceiling "
+        f"{best_ceiling:.3f}, fault ceiling {best_fc:.3f}, "
+        f"reprobed={best_reprobed}); **median per-pair "
         f"ceiling-normalized efficiency over the {len(pool)} valid pairs: "
         f"{norm_median:.3f}**. "
-        f"**Median window ceiling: {ceiling:.2f}** — a pure-Python "
+        f"**Median busy-loop ceiling: {ceiling:.2f}** — a pure-Python "
         f"busy-loop at {N_LO} vs {N_HI} processes on this time-shared sandbox "
         "VM achieves that N→4N efficiency with zero coordination, so it "
         "bounds what ANY job can show here; on a real 4N-executor cluster "
         "the ceiling is 1.0 (executors don't share cores). "
-        f"Ceiling-normalized job efficiency: {min(eff / ceiling, 1.0):.3f}.",
+        f"**Median concurrent-fault ceiling: {fc_median:.2f}** — aggregate "
+        f"fresh-page fault throughput at {N_LO} vs {N_HI} concurrently-"
+        "faulting processes on the same selected CPUs, the machine's own "
+        "N→4N bound for allocation-heavy work (Python worker heaps, Arrow "
+        "buffers, shuffle pages all demand-fault); the busy-loop ceiling "
+        "cannot see this axis because it allocates nothing, and on a real "
+        "4N-executor cluster it is 1.0 (each node services its own "
+        "faults). "
+        f"Job efficiency normalized against each axis separately: "
+        f"busy {min(eff / ceiling, 1.0):.3f}, "
+        f"fault {min(eff / fc_median, 1.0):.3f} — a Spark job whose "
+        "stages both compute and allocate is bounded by a mix of the two; "
+        "no combined bound is claimed.",
         "",
         f"Median-pair stage walls (s): local[{N_LO}] {r8.get('stages')} → "
         f"local[{N_HI}] {r32.get('stages')}.",

@@ -70,7 +70,10 @@ def _mutate(rng: random.Random, content: str, vocab: list[str]) -> tuple[str, st
     op = rng.choice(["rename", "lines", "reorder", "whitespace"])
     if op == "rename":
         # rename a handful of identifier tokens
-        src = [w for w in set(content.replace("(", " ").replace(")", " ").split()) if "_" in w]
+        # sorted(): set iteration order follows the per-process string-hash
+        # salt (PYTHONHASHSEED), so sampling from raw set order made the
+        # "deterministic" generator emit different renames in every process
+        src = sorted(w for w in set(content.replace("(", " ").replace(")", " ").split()) if "_" in w)
         out = content
         for w in rng.sample(src, min(3, len(src))) if src else []:
             out = out.replace(w, _ident(rng, vocab))

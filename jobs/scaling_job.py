@@ -30,11 +30,16 @@ from facematch_spark.session import get_spark
 def main() -> int:
     inp, cpus = sys.argv[1], sys.argv[2]
     cfg = DedupeConfig(jaccard_threshold=0.5)
-    # IDENTICAL plan at every parallelism level: fixed shuffle width and a
-    # fixed 64-way input repartition, so the only variable between N and 4N
-    # is executor count — exactly what a cluster scale-out varies. (Letting
-    # each level pick its own widths confounds the comparison: an 8-way
-    # shuffle has worse straggler tails than a 64-way one.)
+    # Shuffle-width knob (identical at BOTH levels of a pair — the protocol
+    # compares executor counts, never plans). 64 gives the wide (8-slot)
+    # level 8 waves per shuffle stage.
+    n_parts = int(os.environ.get("SCALING_PARTITIONS", "64"))
+    # IDENTICAL plan at every parallelism level: fixed shuffle width and
+    # level-independent scan splits (see maxPartitionBytes below), so the
+    # only variable between N and 4N is executor count — exactly what a
+    # cluster scale-out varies. (Letting each level pick its own widths
+    # confounds the comparison: an 8-way shuffle has worse straggler tails
+    # than a 64-way one.)
     # Heap sized to the corpus, not maxed out: every fresh heap page is a
     # host page fault on this time-shared VM (measured up to 6 s / 32 MB in
     # degraded windows), so a 48g heap is a stall bomb — 16g fits the 348k
@@ -54,7 +59,7 @@ def main() -> int:
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=64,
+        shuffle_partitions=n_parts,
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
             "spark.network.timeout": "300s",
@@ -68,9 +73,30 @@ def main() -> int:
             "spark.driver.extraJavaOptions": "-Xms"
             + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
             + " -XX:+AlwaysPreTouch",
+            # Fine, LEVEL-INDEPENDENT scan splits. maxSplitBytes =
+            # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism));
+            # 8 MB < bytes/parallelism at every width ≤ 51 cores on the
+            # 408 MB corpus, so BOTH levels compute the identical ~51-split
+            # plan (the default 128 MB read the file as FOUR tasks, idling
+            # 4 of the wide level's 8 cores through the whole scan — the
+            # round-5 sign-stage 'serial term'). Content then flows scan →
+            # sign directly: the old repartition(64) pushed 400 MB of
+            # content through an exchange written by those 4 scan tasks —
+            # the heaviest shuffle in the job, carrying the one column that
+            # never needs to move. Downstream shuffles (bands, joins) stay
+            # at the fixed n_parts width and move only ~KB-scale signatures.
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
         },
     )
-    source = spark.read.schema(S.SOURCE_FILES).parquet(inp).repartition(64)
+    # page-cache warm of the input (untimed): models executor-local data — a
+    # real cluster's scan reads node-local SSD/cache, and this host's virtio
+    # disk throughput swings minute-to-minute (the axis tmpfs shuffle dirs
+    # already remove for the shuffle side)
+    with open(inp, "rb") as fh:
+        while fh.read(1 << 24):
+            pass
+    source = spark.read.schema(S.SOURCE_FILES).parquet(inp)
     # warm the JVM/scan metadata AND the Python workers/netty arenas so the
     # measurement is the dataflow, not session bring-up (a cluster's
     # executors are warm long-lived processes; here every fresh page fault

@@ -95,3 +95,38 @@ def test_operator_stage_walls(spark, tiny_df):
     st3: dict[str, float] = {}
     simhash_md5_pairs(docs, k=9, hamming_max=8, walls=st3).count()
     assert "fingerprint_s" in st3
+
+
+def test_fixture_generator_cross_process_determinism():
+    """generate_corpus must emit byte-identical content regardless of the
+    per-process string-hash salt. Regression: the 'rename' mutation sampled
+    identifier tokens from raw set-iteration order (PYTHONHASHSEED-salted),
+    so two processes generating 'the same' corpus disagreed on ~20% of rows
+    — caught in round 5 when a regenerated scaling corpus changed pair
+    counts (347942-file corpus: 140382 → 140394 pairs)."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys, hashlib;"
+        "sys.path.insert(0, %r);"
+        "from facematch_spark.fixtures import generate_corpus;"
+        "c = generate_corpus(n_base=60, seed=7, edge_rows=False);"
+        "acc = 0\n"
+        "for r in c.rows:\n"
+        "    d = hashlib.md5(('\\x00'.join((r['repo'], r['path'], r['commit'],"
+        " r['content']))).encode()).digest()\n"
+        "    acc ^= int.from_bytes(d[:8], 'little')\n"
+        "print(hex(acc))"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    digests = set()
+    for hash_seed in ("1", "2"):
+        out = subprocess.run(
+            [sys.executable, "-c", prog],
+            env={**os.environ, "PYTHONHASHSEED": hash_seed},
+            capture_output=True, text=True, timeout=120, check=True,
+        )
+        digests.add(out.stdout.strip())
+    assert len(digests) == 1, f"corpus content varies with hash salt: {digests}"

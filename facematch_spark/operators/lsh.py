@@ -144,9 +144,18 @@ def tiered_self_join(
       * g > drop_above        → dropped entirely (only when ``drop_above``
                                 is set; callers with an exactness guarantee —
                                 SimHash pigeonhole — pass ``None``).
+
+    Group sizes are computed with a window count over ``keys`` rather than a
+    ``groupBy`` + self-join: the window shuffles the row relation ONCE (the
+    same hash exchange the self-join needs anyway, so the join below reuses
+    it), where the groupBy form exchanged the rows for the aggregation and
+    then again for the size join — two extra full passes of the widest
+    relation in the job through shuffle storage. Semantics are identical
+    (``count(*) over (partition by keys)`` ≡ joined groupBy count).
     """
-    group_sizes = rows.groupBy(*keys).agg(F.count("*").alias("g"))
-    sized = rows.join(group_sizes, keys)
+    from pyspark.sql.window import Window
+
+    sized = rows.withColumn("g", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
 
     normal = sized.filter((F.col("g") > 1) & (F.col("g") <= cap)).drop("g")
     hot_cond = F.col("g") > cap

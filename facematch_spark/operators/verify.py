@@ -29,6 +29,16 @@ from facematch_spark.config import DedupeConfig
 from facematch_spark.telemetry import mark, start
 
 
+# Candidate volume under which the distinct candidate-id set is broadcast to
+# semi-join the signature relation down to participating files before the two
+# metric joins. 2M pairs → ≤4M distinct ids ≈ 32 MB broadcast — the same
+# order as the ngram broadcast tier (dedup.py) and ANN corpus gate
+# (similarity.py). Past it the reduction is skipped: at 10^12-file scale the
+# id set no longer fits a broadcast and the full-shuffle joins below are the
+# scale-correct plan.
+ATTACH_BROADCAST_IDS_MAX = 2_000_000
+
+
 def attach_signature_metrics(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     """(id_a, id_b) + signatures → + minhash_est + hamming. JVM-only.
 
@@ -36,8 +46,26 @@ def attach_signature_metrics(pairs: DataFrame, signatures: DataFrame) -> DataFra
     long minhash arrays (~1 KB/row), and a sort-merge join would SORT the
     candidate side with those arrays attached — a multi-GB spill at 10M+
     candidates. Hash join builds on the (much smaller) signature relation
-    and streams the candidates through unsorted."""
+    and streams the candidates through unsorted.
+
+    The signature relation is the heaviest thing this operator moves (~1 KB
+    of minhash per row, shuffled TWICE — once per pair side). When the
+    candidate set is small enough to enumerate (≤ ``ATTACH_BROADCAST_IDS_MAX``
+    pairs), its distinct ids are broadcast and the signatures are left-semi
+    reduced to participating files first — a shuffle-free cut that typically
+    drops the array shuffle by the non-candidate fraction of the corpus.
+    ``pairs`` is localCheckpointed here because it feeds the id enumeration
+    and both metric joins; callers that already materialized it pay one
+    cheap re-checkpoint of a KB-scale pair relation."""
+    pairs = pairs.localCheckpoint()
     sig = signatures.select("file_id", "minhash", "simhash")
+    if pairs.count() <= ATTACH_BROADCAST_IDS_MAX:
+        ids = (
+            pairs.select(F.col("id_a").alias("file_id"))
+            .union(pairs.select(F.col("id_b").alias("file_id")))
+            .distinct()
+        )
+        sig = sig.join(F.broadcast(ids), "file_id", "left_semi")
     a = sig.alias("sa").hint("shuffle_hash")
     b = sig.alias("sb").hint("shuffle_hash")
     joined = (

@@ -54,6 +54,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # glibc malloc in the Python workers: by default every >128 KB numpy/
+        # Arrow buffer is a fresh anonymous mmap, munmapped on free — so each
+        # mapInPandas batch re-faults its working set from the kernel. On
+        # hosts where fresh-page fault servicing is slow or contended (any
+        # oversubscribed VM; this sandbox degrades ~400× in bad windows —
+        # see bench/scaling.py), that churn lands in the hot loop. Raising
+        # the mmap threshold to 1 GB and disabling trim keeps freed buffers
+        # in the worker's heap for warm reuse; long-lived reused workers
+        # (spark.python.worker.reuse, default on) amortize the first touch.
+        # Worst-case footprint = one worker's peak batch working set, which
+        # executor memory must bound anyway.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
     if extra_conf:
         for k, v in extra_conf.items():

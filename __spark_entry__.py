@@ -439,6 +439,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def dedup_embedding_cosine(spark, sf):
+        # embedding-cosine near-dup pairs: every unordered pair with
+        # round(cosine, 6) >= 0.3 — EXACT (gated broadcast matmul), the
+        # recall oracle for embedding_near_dup_pairs_lsh (the LSH-bucketed
+        # scale path, recall-gated >= 0.99 on planted near-dups in pytest).
+        # The fixture's embeddings are near-orthogonal (max pairwise cosine
+        # ~0.51 at every SF), so the threshold sits at 0.3 to exercise a
+        # real ~1k-pair result the oracle value-hashes; production near-dup
+        # thresholds (0.9+) are a parameter, not a different code path.
+        from facematch_spark.operators.similarity import embedding_near_dup_pairs
+
+        emb = _t(spark, sf, "embeddings")
+        return embedding_near_dup_pairs(emb, threshold=0.3)
+    q["dedup_embedding_cosine"] = dedup_embedding_cosine
+
     # ---- multimodal plumbing ----
 
     def multimodal_meta(spark, sf):
@@ -755,6 +770,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3
+    """
+
+    o["dedup_embedding_cosine"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+                 / (
+                   sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                         FROM (SELECT unnest(a.embedding) AS x)))
+                   *
+                   sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                         FROM (SELECT unnest(b.embedding) AS y)))
+                 ), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+                 (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+                 / (
+                   sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                         FROM (SELECT unnest(a.embedding) AS x)))
+                   *
+                   sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                         FROM (SELECT unnest(b.embedding) AS y)))
+                 ), 6) >= 0.3
     """
 
     o["multimodal_meta"] = """

@@ -130,6 +130,119 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_corpus_rows: int = 2_000_000,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: every unordered pair
+    ``(id_a < id_b)`` with ``round(cosine, 6) >= threshold``.
+
+    This is the embedding sibling of ``ngram_jaccard_pairs`` — the
+    correctness baseline / recall oracle for ``embedding_near_dup_pairs_lsh``
+    (reference parity: the reference's all-pairs ``duplicate_groups`` compare
+    over DeepFace embeddings, ``utils.py``; here the embedding column is any
+    ``array<float>``). Plan shape mirrors ``cosine_topk_bruteforce``: the
+    corpus is collected once under the same explicit gate and broadcast into
+    an Arrow-batched matmul stage — no shuffle; each partition emits only its
+    own above-threshold pairs (``corpus_id > row_id`` keeps each unordered
+    pair exactly once, on the partition holding its smaller id). Past the
+    gate, ``embedding_near_dup_pairs_lsh`` is the scale path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    n_corpus = vectors.limit(max_corpus_rows + 1).count()
+    if n_corpus > max_corpus_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs: corpus exceeds {max_corpus_rows} rows — "
+            "the driver collect + broadcast would not fit; use "
+            "embedding_near_dup_pairs_lsh (bucketed candidates) at this scale, "
+            "or raise max_corpus_rows explicitly if the driver can hold it"
+        )
+    rows = vectors.select(F.col(id_col), F.col(vec_col)).collect()
+    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+    c_norm[c_norm == 0] = 1.0
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((c_ids, C, c_norm))
+    t = float(threshold)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, mat_c, norm_c = bc.value
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_norm = np.sqrt((Q * Q).sum(axis=1))
+            q_norm[q_norm == 0] = 1.0
+            # round BEFORE the threshold test, matching the SQL oracle's
+            # WHERE round(cosine, 6) >= t exactly at the boundary
+            cos = np.round(Q @ mat_c.T / (q_norm[:, None] * norm_c[None, :]), 6)
+            hit = (cos >= t) & (ids_c[None, :] > q_ids[:, None])
+            qi, ci = np.nonzero(hit)
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[qi],
+                    "id_b": ids_c[ci],
+                    "cosine": cos[qi, ci],
+                }
+            )
+
+    from facematch_spark.operators.signatures import _ensure_parallel
+
+    return _ensure_parallel(vectors.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        batches, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    n_bits: int | None = None,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hot_bucket_cap: int = 200,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """APPROXIMATE embedding-cosine near-dup pairs — the 100 TB path.
+
+    Candidates from ``lsh_bucket_candidates`` (random-hyperplane sign
+    sketches, same-bucket-in-any-table through the shared size-tiered
+    self-join), verified by exact JVM-side cosine, filtered at
+    ``round(cosine, 6) >= threshold``. Collision probability per hyperplane
+    for a true near-dup at cosine c is ``1 − arccos(c)/π`` (Charikar '02) —
+    at c ≥ 0.95 and the default 8 tables × auto bits, pair recall is ≥ 0.99
+    (pytest-gated against ``embedding_near_dup_pairs``). Candidate volume is
+    bounded by bucket populations (``auto_n_bits`` keeps expected bucket size
+    constant as the corpus grows), never N²."""
+    if n_bits is None:
+        n_bits = auto_n_bits(vectors.count())
+    cands = lsh_bucket_candidates(
+        vectors, n_bits, n_tables, dim, seed, vec_col, id_col,
+        hot_bucket_cap=hot_bucket_cap, salt_buckets=salt_buckets,
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    return (
+        cands.join(v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_sketches(
     vectors: DataFrame,
     n_bits: int,

@@ -130,3 +130,83 @@ def test_fixture_generator_cross_process_determinism():
         )
         digests.add(out.stdout.strip())
     assert len(digests) == 1, f"corpus content varies with hash salt: {digests}"
+
+
+def test_embedding_near_dup_exact_matches_numpy(spark):
+    """embedding_near_dup_pairs returns EXACTLY the unordered pairs with
+    round(cosine, 6) >= t, once each with id_a < id_b — verified against a
+    driver-side NumPy recomputation on a random fixture."""
+    import numpy as np
+
+    from facematch_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((60, 16))
+    rows = [(i, [float(x) for x in V[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    t = 0.2
+    got = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dup_pairs(emb, t).collect()}
+
+    Vd = V.astype(np.float64)
+    n = Vd / np.sqrt((Vd * Vd).sum(1))[:, None]
+    cos = np.round(n @ n.T, 6)
+    want = {
+        (i, j): cos[i, j]
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if cos[i, j] >= t
+    }
+    assert want, "fixture must produce at least one pair"
+    assert got == want
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """The LSH-bucketed scale path finds >= 0.99 of true near-dup pairs on a
+    corpus with PLANTED near-dups (perturbed copies, cosine >= ~0.95), and
+    every pair it returns is exactly verified (precision 1.0 by
+    construction — candidates go through the same exact cosine + threshold)."""
+    import numpy as np
+
+    from facematch_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 32
+    base = rng.standard_normal((120, dim))
+    planted = []
+    for i in range(0, 120, 3):  # 40 perturbed twins
+        v = base[i] + 0.12 * rng.standard_normal(dim)
+        planted.append(v)
+    V = np.vstack([base, np.array(planted)])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    t = 0.9
+    truth = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, t).collect()}
+    assert len(truth) >= 30, "fixture must plant a meaningful pair set"
+
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(emb, t, n_tables=8, dim=dim, seed=42).collect()
+    }
+    assert approx <= truth  # exact verify => no false positives
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.99, f"LSH near-dup recall {recall:.3f} < 0.99"
+
+
+def test_embedding_near_dup_corpus_gate(spark):
+    """Same explicit driver-collect ceiling as the sibling gates; past it the
+    error names the LSH scale path."""
+    import numpy as np
+
+    from facematch_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    with pytest.raises(ValueError, match="embedding_near_dup_pairs_lsh"):
+        embedding_near_dup_pairs(emb, 0.5, max_corpus_rows=10).collect()

@@ -25,7 +25,7 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORPUS = os.environ.get("SCALING_CORPUS", "/tmp/fm_scaling_corpus240k_rg4k.parquet")
+CORPUS = os.environ.get("SCALING_CORPUS", "/tmp/fm_scaling_corpus240k_rg1k.parquet")
 N_BASE = int(os.environ.get("SCALING_N_BASE", "240000"))
 
 
@@ -40,10 +40,15 @@ def ensure_corpus() -> None:
     # 16384-row groups compressed to ~18.6 MB, capping the 408 MB file at 22
     # scan tasks no matter how small maxPartitionBytes goes (and the default
     # 128 MB read it as FOUR tasks — the round-5 sign-stage 'serial term').
-    # 4096-row groups (~4.7 MB) give ~86 groups → ~51 balanced 8 MB splits,
-    # the layout a real table would have from any sane ingest.
+    # 4096-row groups measured 2.65-12.96 MB compressed (content lengths
+    # vary), so ~8 MB splits held 1-3 groups and the largest single task ran
+    # ~29 s of sign work — a straggler tail the narrow level absorbs but the
+    # wide level pays whole (campaign-3 sign stage: 51 tasks / 8 cores =
+    # 6.4 waves, ~0.92 utilization cap). 1024-row groups (~0.7-3.2 MB) under
+    # 2 MB splits give ~200 near-uniform tasks: tail ≤ one ~2 s task at any
+    # width, scheduling overhead still trivial (≤ 20 ms/task driver-side).
     corpus_to_pandas(generate_corpus(n_base=N_BASE, seed=42, edge_rows=False)).to_parquet(
-        CORPUS, row_group_size=4096
+        CORPUS, row_group_size=1024
     )
 
 

@@ -75,17 +75,22 @@ def main() -> int:
             + " -XX:+AlwaysPreTouch",
             # Fine, LEVEL-INDEPENDENT scan splits. maxSplitBytes =
             # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism));
-            # 8 MB < bytes/parallelism at every width ≤ 51 cores on the
-            # 408 MB corpus, so BOTH levels compute the identical ~51-split
+            # 2 MB < bytes/parallelism at every width ≤ 195 cores on the
+            # 390 MB corpus, so BOTH levels compute the identical ~200-split
             # plan (the default 128 MB read the file as FOUR tasks, idling
             # 4 of the wide level's 8 cores through the whole scan — the
-            # round-5 sign-stage 'serial term'). Content then flows scan →
-            # sign directly: the old repartition(64) pushed 400 MB of
-            # content through an exchange written by those 4 scan tasks —
-            # the heaviest shuffle in the job, carrying the one column that
-            # never needs to move. Downstream shuffles (bands, joins) stay
-            # at the fixed n_parts width and move only ~KB-scale signatures.
-            "spark.sql.files.maxPartitionBytes": "8m",
+            # round-5 sign-stage 'serial term'). 2 MB splits over the
+            # 1024-row (~0.7-3.2 MB) row groups keep sign tasks near-uniform
+            # so the wide level's straggler tail is ≤ one ~2 s task (the 8 MB
+            # splits over 2.6-13 MB groups left a ~29 s largest task — a
+            # ~0.92 wide-level utilization cap measured in campaign 3).
+            # Content then flows scan → sign directly: the old
+            # repartition(64) pushed 400 MB of content through an exchange
+            # written by those 4 scan tasks — the heaviest shuffle in the
+            # job, carrying the one column that never needs to move.
+            # Downstream shuffles (bands, joins) stay at the fixed n_parts
+            # width and move only ~KB-scale signatures.
+            "spark.sql.files.maxPartitionBytes": "2m",
             "spark.sql.files.openCostInBytes": "1m",
         },
     )

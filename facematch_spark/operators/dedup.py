@@ -156,13 +156,19 @@ def ngram_jaccard_pairs(
     )
     t0 = mark(walls, "shingle_s", t0)
 
-    freq = sh.groupBy("sh").agg(F.count("*").alias("freq"))
-    ranked = (
-        sh.join(freq, "sh")
+    # frequency + cardinality + rank as WINDOW counts — two shuffles total
+    # (one by sh, one by doc_id with a shared exchange for both doc_id
+    # windows) instead of the groupBy+join form's four (freq agg, full-sh
+    # re-shuffle into the freq join, rank window, cardinality join).
+    # Skew note: a hot shingle's rows land in one window task, but the work
+    # is a linear count — same rows-per-task as the join form's shuffle,
+    # without the second full-relation exchange. Ordering (freq, sh) is
+    # unchanged, so ranks — and the lossless prefix filter — are identical.
+    with_n = (
+        sh.withColumn("freq", F.count("*").over(W.partitionBy("sh")))
+        .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
         .withColumn("rnk", F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "sh")))
     )
-    card = ranked.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    with_n = ranked.join(card, "doc_id")
     # prefix length: n - ceil(t*n) + 1
     prefix = (
         with_n.filter(
@@ -222,9 +228,18 @@ def ngram_jaccard_pairs(
         return inter / (x.size + y.size - inter)
 
     if n_shingle_rows <= BROADCAST_SHINGLE_LIMIT:
-        by_doc: dict[int, np.ndarray] = {}
-        for r in sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("sh")).alias("arr")).collect():
-            by_doc[r["doc_id"]] = np.asarray(r["arr"], dtype=np.int64)
+        # Arrow-batched driver collect (toPandas) — row-based .collect()
+        # deserializes each shingle array element-by-element through the
+        # Pyrolite path; Arrow moves the list column as one buffer.
+        arr_pdf = (
+            sh.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("sh")).alias("arr"))
+            .toPandas()
+        )
+        by_doc: dict[int, np.ndarray] = {
+            int(d): np.asarray(a, dtype=np.int64)
+            for d, a in zip(arr_pdf["doc_id"].to_numpy(), arr_pdf["arr"].to_numpy())
+        }
         bc = docs.sparkSession.sparkContext.broadcast(by_doc)
         mark(walls, "bcast_collect_s", t0)
 
@@ -541,8 +556,9 @@ def containment_pairs(
     grams = char_shingles(docs, k).select(
         "doc_id", F.xxhash64("shingle").alias("gram")
     ).localCheckpoint()  # feeds corpus frequency + probe ranking + build side
-    freq = grams.groupBy("gram").agg(F.count("*").alias("freq"))
-    with_freq = grams.join(freq, "gram")
+    # corpus frequency as a window count (one shuffle by gram; the
+    # groupBy+join form re-shuffled the full gram relation a second time)
+    with_freq = grams.withColumn("freq", F.count("*").over(W.partitionBy("gram")))
     probe = (
         with_freq.withColumn(
             "rnk", F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "gram"))

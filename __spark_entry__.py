@@ -27,6 +27,10 @@ K = 9
 JT = 0.5
 TK = 3  # token-shingle width for the token-mode Jaccard query
 DOC_CFG = DedupeConfig(jaccard_threshold=JT, normalize=True)
+# stratified-sampling rates for q_sample_stratified (es/de fall through to
+# the default, exercising the otherwise-branch of the threshold CASE)
+SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "zh": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -454,6 +458,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_near_dup_pairs(emb, threshold=0.3)
     q["dedup_embedding_cosine"] = dedup_embedding_cosine
 
+    # ---- training-data curation (engine additions) ----
+
+    def dedup_representatives(spark, sf):
+        # the keep/drop manifest: per exact-Jaccard duplicate cluster, elect
+        # one representative (longest doc, ties to min doc_id) and report
+        # the cluster size — one row per cluster, singletons included.
+        from facematch_spark.operators.dedup import cluster_representatives
+
+        return cluster_representatives(_t(spark, sf, "documents"), K, JT)
+    q["dedup_representatives"] = dedup_representatives
+
+    def q_sample_stratified(spark, sf):
+        # deterministic per-language sampling: membership is a pure per-row
+        # hash predicate (map-only, no shuffle) — reproducible across runs,
+        # partitionings and engines, consistent under corpus growth, and
+        # nested across rates (0.1 ⊂ 0.25 at the same salt).
+        from facematch_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            _t(spark, sf, "documents"), SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+        )
+    q["q_sample_stratified"] = q_sample_stratified
+
     # ---- multimodal plumbing ----
 
     def multimodal_meta(spark, sf):
@@ -694,6 +721,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT sym.d, cc.label FROM cc JOIN sym ON sym.s = cc.node
         )
         SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    """
+
+    o["dedup_representatives"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JT}),
+        sym AS (SELECT id_a AS s, id_b AS d FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.d, cc.label FROM cc JOIN sym ON sym.s = cc.node
+        ),
+        cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+        scored AS (
+            SELECT cl.cluster_id, cl.doc_id, CAST(length(d.text) AS BIGINT) AS score
+            FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+        ),
+        sel AS (
+            SELECT cluster_id, doc_id, score,
+                   row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM scored
+        )
+        SELECT cluster_id, n_members, doc_id AS rep_id, score AS rep_score
+        FROM sel WHERE rn = 1
+    """
+
+    _sample_case = " ".join(
+        f"WHEN '{lang}' THEN '{format(int(rate * 2**32), '08x')}'"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    o["q_sample_stratified"] = f"""
+        SELECT doc_id, text, lang, source, n_chars,
+               substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+        FROM documents
+        WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE lang {_sample_case}
+                ELSE '{format(int(SAMPLE_DEFAULT_RATE * 2**32), '08x')}' END
     """
 
     o["dedup_containment"] = """

@@ -624,3 +624,39 @@ def dedup_clusters(
         connected_components(edges, nodes=nodes, walls=walls)
         .select(F.col("file_id").alias("doc_id"), "cluster_id")
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    k: int,
+    threshold: float,
+    score: F.Column | None = None,
+    walls: dict | None = None,
+) -> DataFrame:
+    """The "which copy survives" step of training-data dedup: per duplicate
+    cluster, elect one representative document and report the cluster size.
+
+    Reference parity: the reference stops at reporting findings pairs
+    (tasks.py:109-127) and leaves the keep/drop decision to the operator
+    reading the HTML report; training pipelines need it materialized.
+
+    ``score`` ranks candidates (default: document length — the common
+    keep-the-longest heuristic; pass e.g. a quality_score column expression
+    to keep-the-cleanest). Ties break on min doc_id, so the election is
+    total-order deterministic. Singleton clusters elect themselves, so the
+    output is a complete keep-manifest: exactly one row per cluster,
+    ``anti-join docs on rep_id ∈ output`` is the drop set.
+
+    Scale: one extra shuffle past clustering (groupBy cluster_id with
+    map-side partial max_by — no window sort, no per-cluster row explosion);
+    the score join is by doc_id on relations that already exist.
+    """
+    score = F.length("text").cast("long") if score is None else score
+    clusters = dedup_clusters(docs, k, threshold, walls=walls)
+    scored = clusters.join(docs.select("doc_id", score.alias("score")), "doc_id")
+    # max_by over (score, -doc_id): highest score wins, lowest doc_id on ties
+    return scored.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max_by("doc_id", F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))).alias("rep_id"),
+        F.max("score").alias("rep_score"),
+    )

@@ -210,3 +210,105 @@ def test_embedding_near_dup_corpus_gate(spark):
 
     with pytest.raises(ValueError, match="embedding_near_dup_pairs_lsh"):
         embedding_near_dup_pairs(emb, 0.5, max_corpus_rows=10).collect()
+
+
+# ---------------------------------------------------------------------------
+# round-5 session 5: training-data curation additions
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from facematch_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"doc {i}", ["en", "fr", "zh"][i % 3]) for i in range(3000)]
+    df = _docs_df(spark, rows)
+    rates = {"en": 0.5, "fr": 0.2, "zh": 0.0}
+
+    a = {r.doc_id for r in stratified_sample(df, rates).collect()}
+    b = {r.doc_id for r in stratified_sample(df.repartition(7), rates).collect()}
+    assert a == b, "membership must be independent of partitioning"
+
+    by_lang = {
+        lang: sum(1 for i in a if rows[i][2] == lang) / 1000 for lang in ("en", "fr", "zh")
+    }
+    assert abs(by_lang["en"] - 0.5) < 0.06
+    assert abs(by_lang["fr"] - 0.2) < 0.06
+    assert by_lang["zh"] == 0.0
+
+
+def test_stratified_sample_nested_and_superset_consistent(spark):
+    from facematch_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "x", "en") for i in range(2000)]
+    df = _docs_df(spark, rows)
+    small = {r.doc_id for r in stratified_sample(df, {"en": 0.1}).collect()}
+    large = {r.doc_id for r in stratified_sample(df, {"en": 0.3}).collect()}
+    assert small < large, "lower rate must be a strict subset at the same salt"
+
+    # growing the corpus never flips an existing row's verdict
+    grown = _docs_df(spark, rows + [(i, "x", "en") for i in range(2000, 4000)])
+    regrown = {r.doc_id for r in stratified_sample(grown, {"en": 0.1}).collect()}
+    assert {i for i in regrown if i < 2000} == small
+
+
+def test_stratified_sample_salts_are_independent(spark):
+    from facematch_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "x", "en") for i in range(4000)]
+    df = _docs_df(spark, rows)
+    s1 = {r.doc_id for r in stratified_sample(df, {"en": 0.2}, salt="train:").collect()}
+    s2 = {r.doc_id for r in stratified_sample(df, {"en": 0.2}, salt="eval:").collect()}
+    overlap = len(s1 & s2) / max(len(s1), 1)
+    # independent 20% samples overlap ~20%; identical hashing would give 100%
+    assert 0.05 < overlap < 0.45
+
+
+def test_stratified_sample_is_map_only(spark):
+    from facematch_spark.operators.sampling import stratified_sample
+
+    df = _docs_df(spark, [(1, "x", "en")])
+    out = stratified_sample(df, {"en": 0.5})
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, "sampling must not shuffle"
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    import pytest as _pytest
+
+    from facematch_spark.operators.sampling import stratified_sample
+
+    df = _docs_df(spark, [(1, "x", "en")])
+    with _pytest.raises(ValueError, match="rate"):
+        stratified_sample(df, {"en": 1.5})
+
+
+def test_cluster_representatives_election(spark):
+    from facematch_spark.operators.dedup import cluster_representatives
+
+    base = "def handler(event, ctx):\n    return process(event) or fallback(ctx)\n" * 4
+    rows = [
+        (1, base, "en"),                     # cluster {1,2,3}: 3 is longest
+        (2, base + "# v2\n", "en"),
+        (3, base + "# v2 extended notes\n", "en"),
+        (10, "completely different content about parquet readers " * 5, "en"),  # singleton
+    ]
+    out = {
+        r.cluster_id: r
+        for r in cluster_representatives(_docs_df(spark, rows), k=9, threshold=0.5).collect()
+    }
+    assert out[1].rep_id == 3 and out[1].n_members == 3
+    assert out[10].rep_id == 10 and out[10].n_members == 1
+    assert out[1].rep_score == len(rows[2][1])
+
+
+def test_cluster_representatives_tie_breaks_min_doc_id(spark):
+    from facematch_spark.operators.dedup import cluster_representatives
+
+    txt = "tie break corpus body with enough shingles to cluster " * 3
+    rows = [(7, txt, "en"), (4, txt, "en")]  # equal length => min doc_id wins
+    out = cluster_representatives(_docs_df(spark, rows), k=9, threshold=0.5).collect()
+    assert len(out) == 1 and out[0].rep_id == 4 and out[0].n_members == 2

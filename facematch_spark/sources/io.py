@@ -106,3 +106,80 @@ def read_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.parquet(path)
+
+
+def read_source_files_text(
+    spark: SparkSession, location: str, fmt: str = "jsonl", multiline: bool = False
+) -> DataFrame:
+    """Ingest raw JSONL or CSV drops into the engine's input shape — training
+    corpora usually arrive as line-delimited text files, not curated Parquet
+    (the reference's analog is the flat directory walk, utils.py:117-124).
+
+    Scale decisions:
+      * schema is ENFORCED, never inferred — inference is a second full scan
+        of the data before the first real one;
+      * one JSON object / CSV record per line (``multiLine`` off by
+        default), so the files stay byte-range splittable and a 1 TB drop
+        becomes ~8k independent tasks instead of one task per file. CSVs
+        whose quoted fields embed newlines are NOT line-splittable — pass
+        ``multiline=True`` to parse them correctly at the cost of one task
+        per file (prefer JSONL for content with newlines: \\n stays escaped
+        in the JSON string, so the format is both lossless and splittable);
+      * PERMISSIVE parsing with a ``_corrupt_record`` capture column — a
+        malformed line quarantines one ROW, it cannot fail a 128 MB task
+        (FAILFAST at 10^12 rows means any single bad byte kills the job).
+        Split the result with :func:`split_corrupt`.
+    """
+    import pyspark.sql.types as T
+
+    from pyspark.sql import functions as F
+
+    # copy the fields — StructType.add MUTATES the receiver in place, which
+    # would grow the shared S.SOURCE_FILES schema on every call
+    cap = T.StructType(
+        list(S.SOURCE_FILES.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    if fmt == "jsonl":
+        df = (
+            spark.read.schema(cap)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(location)
+        )
+    elif fmt == "csv":
+        df = (
+            spark.read.schema(cap)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .option("header", "true")
+            .option("escape", '"')
+            .option("multiLine", "true" if multiline else "false")
+            .csv(location)
+        )
+    else:
+        raise ValueError(f"fmt must be 'jsonl' or 'csv', got {fmt!r}")
+    # Spark quirk: a corrupt JSON line yields nulls in EVERY data column plus
+    # the raw line in the capture column; a VALID line with explicit nulls
+    # keeps the capture column null. Required-column null checks below catch
+    # schema-valid-but-incomplete rows (missing repo/path/commit) as corrupt
+    # too — the dedup keys cannot be built without them.
+    required_null = (
+        F.col("repo").isNull() | F.col("path").isNull() | F.col("commit").isNull()
+    )
+    return df.withColumn(
+        "_corrupt_record",
+        F.when(
+            F.col("_corrupt_record").isNotNull(), F.col("_corrupt_record")
+        ).otherwise(F.when(required_null, F.lit("missing required field"))),
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows in SOURCE_FILES shape, quarantined rows with the raw line).
+
+    The clean side drops the capture column so it is plan-identical to a
+    Parquet read of the same relation; the quarantine side keeps it for a
+    dead-letter sink."""
+    ok = df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    return ok, bad

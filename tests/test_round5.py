@@ -312,3 +312,65 @@ def test_cluster_representatives_tie_breaks_min_doc_id(spark):
     rows = [(7, txt, "en"), (4, txt, "en")]  # equal length => min doc_id wins
     out = cluster_representatives(_docs_df(spark, rows), k=9, threshold=0.5).collect()
     assert len(out) == 1 and out[0].rep_id == 4 and out[0].n_members == 2
+
+
+def test_jsonl_ingest_parses_and_quarantines(spark, tmp_path):
+    import json as _json
+
+    from facematch_spark.operators.signatures import sign_documents
+    from facematch_spark.config import DedupeConfig
+    from facematch_spark.sources.io import read_source_files_text, split_corrupt
+
+    p = tmp_path / "drop.jsonl"
+    good = [
+        {"repo": "r1", "path": "a.py", "commit": "c" * 40, "lang": "py",
+         "content": "def alpha(x):\n    return x * 2  # doubled for the test corpus\n" * 3},
+        {"repo": "r2", "path": "b.py", "commit": "d" * 40, "lang": "py",
+         "content": "def beta(y):\n    return y + 7  # shifted for the test corpus\n" * 3},
+    ]
+    lines = [_json.dumps(g) for g in good]
+    lines.insert(1, '{"repo": "broken", not json at all')          # malformed line
+    lines.append(_json.dumps({"repo": "r3", "lang": "py", "content": "z"}))  # missing path/commit
+    p.write_text("\n".join(lines) + "\n")
+
+    ok, bad = split_corrupt(read_source_files_text(spark, str(p), fmt="jsonl"))
+    assert {r.repo for r in ok.collect()} == {"r1", "r2"}
+    assert bad.count() == 2  # one malformed, one missing required fields
+    assert "_corrupt_record" not in ok.columns
+
+    # the clean side flows through the signature stage unchanged
+    sigs = sign_documents(ok, DedupeConfig(jaccard_threshold=0.5))
+    assert sigs.filter(sigs.status == "ok").count() == 2
+
+
+def test_csv_ingest_roundtrip(spark, tmp_path):
+    from facematch_spark.sources.io import read_source_files_text, split_corrupt
+
+    p = tmp_path / "drop.csv"
+    p.write_text(
+        'repo,path,commit,lang,content\n'
+        f'r1,a.py,{"c" * 40},py,"line one\nline two"\n'
+        f'r2,b.py,{"d" * 40},py,hello\n'
+        f',missing_repo.py,{"e" * 40},py,nope\n'
+    )
+    # default (splittable, line-per-record) mode: the quoted embedded
+    # newline cannot be parsed — that row quarantines instead of truncating
+    ok, bad = split_corrupt(read_source_files_text(spark, str(p), fmt="csv"))
+    assert {r.repo for r in ok.collect()} >= {"r2"}
+    # multiline opt-in parses the quoted newline correctly (one task/file)
+    ok_ml, bad_ml = split_corrupt(
+        read_source_files_text(spark, str(p), fmt="csv", multiline=True)
+    )
+    rows = {r.repo: r for r in ok_ml.collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert rows["r1"].content == "line one\nline two"
+    assert bad_ml.count() == 1
+
+
+def test_ingest_rejects_unknown_format(spark):
+    import pytest as _pytest
+
+    from facematch_spark.sources.io import read_source_files_text
+
+    with _pytest.raises(ValueError, match="fmt"):
+        read_source_files_text(spark, "/tmp/nope", fmt="xml")

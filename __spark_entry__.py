@@ -481,6 +481,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sample_stratified"] = q_sample_stratified
 
+    def curation_pipeline(spark, sf):
+        # the composed curation flow: quality gate (length >= 100) →
+        # near-dup clustering + representative election → per-language
+        # stratified sample — one SQL-verifiable statement end-to-end.
+        from facematch_spark.plans.curation import curate
+
+        return curate(
+            _t(spark, sf, "documents"), K, JT,
+            rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE,
+        )
+    q["curation_pipeline"] = curation_pipeline
+
     # ---- multimodal plumbing ----
 
     def multimodal_meta(spark, sf):
@@ -510,6 +522,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and RE2's \\s omits vertical tab (\\x0B), so a document containing \\x0B
 # would tokenize differently on the two sides if the oracles used '\\s'.
 _WSC = r" \t\n\x0b\f\r"
+
+def _shingles_cte(tbl: str = "documents") -> str:
+    """The exact-Jaccard CTE block over an arbitrary docs relation (the
+    curation oracle runs it over a quality-filtered CTE, every other oracle
+    over the raw table)."""
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {K}) AS shingle
+  FROM {tbl}, UNNEST(range(1, length(text) - {K - 2})) AS t(i)
+),
+card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+  FROM jpairs
+  JOIN card ca ON ca.doc_id = id_a
+  JOIN card cb ON cb.doc_id = id_b
+)
+"""
+
 
 _SHINGLES_CTE = f"""
 sh AS (
@@ -758,6 +795,39 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
               < CASE lang {_sample_case}
+                ELSE '{format(int(SAMPLE_DEFAULT_RATE * 2**32), '08x')}' END
+    """
+
+    o["curation_pipeline"] = f"""
+        WITH RECURSIVE qdocs AS (
+            SELECT * FROM documents WHERE length(text) >= 100
+        ),
+        {_shingles_cte('qdocs')},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JT}),
+        sym AS (SELECT id_a AS s, id_b AS d FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM qdocs
+            UNION
+            SELECT sym.d, cc.label FROM cc JOIN sym ON sym.s = cc.node
+        ),
+        cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+        scored AS (
+            SELECT cl.cluster_id, cl.doc_id, CAST(length(d.text) AS BIGINT) AS score
+            FROM cl JOIN qdocs d ON d.doc_id = cl.doc_id
+        ),
+        sel AS (
+            SELECT cluster_id, doc_id, score,
+                   row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM scored
+        ),
+        reps AS (SELECT cluster_id, n_members, doc_id AS rep_id FROM sel WHERE rn = 1)
+        SELECT d.doc_id, d.lang, r.cluster_id, r.n_members,
+               substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sample_key
+        FROM qdocs d JOIN reps r ON r.rep_id = d.doc_id
+        WHERE substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < CASE d.lang {_sample_case}
                 ELSE '{format(int(SAMPLE_DEFAULT_RATE * 2**32), '08x')}' END
     """
 

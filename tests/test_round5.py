@@ -374,3 +374,31 @@ def test_ingest_rejects_unknown_format(spark):
 
     with _pytest.raises(ValueError, match="fmt"):
         read_source_files_text(spark, "/tmp/nope", fmt="xml")
+
+
+def test_curation_pipeline_semantics(spark):
+    """Quality gate drops short docs; near-dup clusters keep one
+    representative; the sample predicate filters deterministically."""
+    from facematch_spark.plans.curation import curate
+
+    body = "def handler(event, ctx):\n    return process(event) or fallback(ctx)\n" * 4
+    rows = [
+        (1, body, "en"),                          # cluster {1,2}: 2 is longer
+        (2, body + "# trailing note\n", "en"),
+        (3, "tiny", "en"),                        # fails the quality gate
+        (4, "independent corpus about parquet row-group pruning " * 6, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # rate 1.0 => sampling keeps everything; isolates the first two stages
+    out = {r.doc_id: r for r in curate(df, 9, 0.5, rates={"en": 1.0}).collect()}
+    assert set(out) == {2, 4}, "rep of {1,2} plus the independent doc"
+    assert out[2].n_members == 2 and out[4].n_members == 1
+
+    # rate 0 for the stratum => nothing survives; default_rate unused
+    assert curate(df, 9, 0.5, rates={"en": 0.0}).count() == 0
+
+    # provenance columns are the contract
+    assert set(curate(df, 9, 0.5, rates={"en": 1.0}).columns) == {
+        "doc_id", "lang", "cluster_id", "n_members", "sample_key"
+    }

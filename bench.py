@@ -30,6 +30,50 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
     from facematch_spark.operators.verify import attach_signature_metrics
     from facematch_spark.session import get_spark
 
+    # Route around sick vCPUs before the JVM starts — the same
+    # executor-placement analog the scaling protocol uses (a scheduler
+    # routing around sick nodes): this host's hypervisor-side fault
+    # servicing degrades ~400× on a drifting subset of vCPUs, and ONE such
+    # CPU straggles every wide stage of every query (measured: the same
+    # bench suite 117 s vs 204 s depending on whether a sick CPU was in the
+    # set). Pin the process (JVM + Python workers inherit) to the healthy
+    # subset when at least half the CPUs pass the gate; record what was
+    # excluded so the artifact is auditable. SPARK_GRAFT_PIN=0 disables.
+    health = {"pinned_cpus": None, "excluded_cpus": {}}
+    if os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and hasattr(os, "sched_setaffinity"):
+        try:
+            import importlib.util as _ilu
+
+            _spec = _ilu.spec_from_file_location(
+                "fm_bench_scaling",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench", "scaling.py"),
+            )
+            _scaling = _ilu.module_from_spec(_spec)
+            sys.modules["fm_bench_scaling"] = _scaling
+            _spec.loader.exec_module(_scaling)
+            scan = _scaling.fault_scan(sorted(os.sched_getaffinity(0)))
+            healthy = [c for c, ms in scan.items() if ms <= _scaling.FAULT_MS_GATE]
+            vals = sorted(scan.values())
+            health["fault_scan_ms"] = {
+                "median": round(vals[len(vals) // 2], 1),
+                "max": round(vals[-1], 1),
+                "n_healthy": len(healthy),
+                "n_scanned": len(scan),
+            }
+            if len(healthy) >= max(len(scan) // 2, 1):
+                os.sched_setaffinity(0, healthy)
+                health["pinned_cpus"] = sorted(healthy)
+                health["excluded_cpus"] = {
+                    str(c): round(ms, 1)
+                    for c, ms in scan.items()
+                    if ms > _scaling.FAULT_MS_GATE
+                }
+            # else: a majority-sick window — pinning local[N] threads onto
+            # under half the cores would oversubscribe 2×; run unpinned and
+            # let the recorded scan stats flag the window instead
+        except Exception as exc:  # never let the probe break the bench
+            health["excluded_cpus"] = {"probe_error": str(exc)}
+
     # tmpfs shuffle dir for the local measurement harness only (a cluster
     # keeps its executor-local disks): this sandbox's shared virtio disk
     # and its page-fault windows otherwise add minutes of variance.
@@ -122,6 +166,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding_cosine",
         "multimodal_meta", "multimodal_frames", "q_sample_stratified",
+        "curation_pipeline",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization
@@ -169,6 +214,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "total_sec": total,
         "cpus": cpus,
         "stages": stage_walls,
+        "cpu_health": health,
     }
     spark.stop()
     return result

@@ -112,6 +112,24 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # 9. stratified sample: pure per-row predicate — NO exchange, NO join,
+    # whole plan one codegen span over the scan (round-5 map-only contract)
+    from facematch_spark.operators.sampling import stratified_sample
+
+    samp = stratified_sample(docs, {"en": 0.5, "fr": 0.25}, default_rate=0.05)
+    summarize("stratified sample", samp, forbid=[r"Exchange", r"Join"])
+
+    # 10. composed curation: representative election must stay a partial-agg
+    # hash aggregate (max_by), never a window sort; no cartesian anywhere
+    from facematch_spark.plans.curation import curate
+
+    summarize(
+        "curation pipeline",
+        curate(docs, 9, 0.5, rates={"en": 0.5}, default_rate=0.05),
+        expect=[r"HashAggregate.*max_by|max_by"],
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     spark.stop()
 
 

@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="facematch-spark", description=__doc__)
     p.add_argument("input", help="Iceberg table name or parquet path of source_files")
     p.add_argument("--out", required=True, help="checkpoint/output root directory")
+    p.add_argument("--format", choices=["parquet", "jsonl", "csv"], default="parquet",
+                   help="input format: parquet/Iceberg (default) or a raw JSONL/CSV "
+                        "drop (malformed rows quarantine to OUT/quarantine instead of "
+                        "failing the run)")
     p.add_argument("--reset", action="store_true", help="drop existing stage tables (utils.py:77-81 analog)")
     p.add_argument("--report", action="store_true", help="write CSV report + print top/bottom edges")
     p.add_argument("--symmetric", action="store_true",
@@ -76,7 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         if snap is not None:
             meta = {**meta, "snapshot_id": snap, "run_complete": False}
             store.save_run_meta(meta)
-    source = read_source_files(spark, args.input, snapshot_id=snap)
+    if args.format == "parquet":
+        source = read_source_files(spark, args.input, snapshot_id=snap)
+    else:
+        from facematch_spark.sources.io import read_source_files_text, split_corrupt
+
+        source, bad = split_corrupt(
+            read_source_files_text(spark, args.input, fmt=args.format)
+        )
+        n_bad = bad.count()
+        if n_bad:
+            qpath = f"{args.out}/quarantine_{cfg.table_suffix()}"
+            bad.write.mode("overwrite").parquet(qpath)
+            print(
+                json.dumps({"quarantined_rows": n_bad, "quarantine_path": qpath}),
+                file=sys.stderr,
+            )
     res = run_dedupe(spark, source, cfg, store=store)
     if snap is not None:
         store.save_run_meta({**meta, "run_complete": True})

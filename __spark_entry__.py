@@ -481,6 +481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sample_stratified"] = q_sample_stratified
 
+    def dedup_decontaminate(spark, sf):
+        # eval-decontamination: drop train docs (even doc_ids) that
+        # near-dup anything in the held-out set (odd doc_ids) at exact
+        # char-9-gram Jaccard >= 0.5; returns the audit trail — each
+        # dropped doc with its strongest held-out match.
+        from facematch_spark.operators.dedup import decontaminate
+
+        docs = _t(spark, sf, "documents")
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        held = docs.filter(F.col("doc_id") % 2 == 1)
+        _, contaminated = decontaminate(train, held, K, JT)
+        return contaminated
+    q["dedup_decontaminate"] = dedup_decontaminate
+
     def curation_pipeline(spark, sf):
         # the composed curation flow: quality gate (length >= 100) →
         # near-dup clustering + representative election → per-language
@@ -796,6 +810,38 @@ def oracle_sql() -> dict[str, str]:
         WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
               < CASE lang {_sample_case}
                 ELSE '{format(int(SAMPLE_DEFAULT_RATE * 2**32), '08x')}' END
+    """
+
+    o["dedup_decontaminate"] = f"""
+        WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        sha AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {K}) AS shingle
+          FROM tr, UNNEST(range(1, length(text) - {K - 2})) AS t(i)
+        ),
+        shb AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {K}) AS shingle
+          FROM ev, UNNEST(range(1, length(text) - {K - 2})) AS t(i)
+        ),
+        ca AS (SELECT doc_id, count(*) AS n FROM sha GROUP BY doc_id),
+        cb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sha a JOIN shb b ON a.shingle = b.shingle
+          GROUP BY 1, 2
+        ),
+        hits AS (
+          SELECT id_a, id_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+          FROM inter JOIN ca ON ca.doc_id = id_a JOIN cb ON cb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JT}
+        ),
+        ranked AS (
+          SELECT id_a, id_b, jaccard,
+                 row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) AS rn
+          FROM hits
+        )
+        SELECT id_a AS doc_id, id_b AS matched_eval_id, jaccard
+        FROM ranked WHERE rn = 1
     """
 
     o["curation_pipeline"] = f"""

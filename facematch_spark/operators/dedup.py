@@ -138,10 +138,6 @@ def ngram_jaccard_pairs(
     is exact set intersection — output matches the naive all-shared-shingle
     join bit for bit (integer-ratio doubles).
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window as W
 
     shingler = {"char": char_shingles, "token": token_shingles}[shingle_kind]
@@ -212,14 +208,26 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Verification tiering: when the whole shingle relation fits in a
-    # broadcast, ship per-doc SORTED NumPy int64 arrays once to every
-    # executor (8 bytes/element + one small array object per doc — unlike
-    # Python sets at ~60 bytes/element) and verify candidates with zero
-    # array shuffle (candidates travel as two longs). Past the broadcast
-    # ceiling, fall back to the array equi-join (each candidate pulls both
-    # sorted arrays through the shuffle) — same results, more IO. The gate
-    # is sized for real driver heap: 5M rows ≈ 40 MB of array payload.
+    return _verify_exact_jaccard(cands, sh, threshold, walls=walls, t0=t0)
+
+
+def _verify_exact_jaccard(
+    cands: DataFrame, sh: DataFrame, threshold: float, walls: dict | None = None, t0=None
+) -> DataFrame:
+    """Exact-Jaccard verification tier shared by the self-join and
+    cross-corpus PPJoin operators: when the whole shingle relation fits in a
+    broadcast, ship per-doc SORTED NumPy int64 arrays once to every
+    executor (8 bytes/element + one small array object per doc — unlike
+    Python sets at ~60 bytes/element) and verify candidates with zero
+    array shuffle (candidates travel as two longs). Past the broadcast
+    ceiling, fall back to the array equi-join (each candidate pulls both
+    sorted arrays through the shuffle) — same results, more IO. The gate
+    is sized for real driver heap: 5M rows ≈ 40 MB of array payload."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     BROADCAST_SHINGLE_LIMIT = 5_000_000
     n_shingle_rows = sh.count()
 
@@ -240,8 +248,9 @@ def ngram_jaccard_pairs(
             int(d): np.asarray(a, dtype=np.int64)
             for d, a in zip(arr_pdf["doc_id"].to_numpy(), arr_pdf["arr"].to_numpy())
         }
-        bc = docs.sparkSession.sparkContext.broadcast(by_doc)
-        mark(walls, "bcast_collect_s", t0)
+        bc = sh.sparkSession.sparkContext.broadcast(by_doc)
+        if t0 is not None:
+            mark(walls, "bcast_collect_s", t0)
 
         def verify_bc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lookup = bc.value
@@ -660,3 +669,95 @@ def cluster_representatives(
         F.max_by("doc_id", F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))).alias("rep_id"),
         F.max("score").alias("rep_score"),
     )
+
+
+def ngram_jaccard_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    threshold: float,
+    shingle_kind: str = "char",
+) -> DataFrame:
+    """Exact k-gram Jaccard pairs ≥ threshold BETWEEN two corpora — the
+    cross-corpus form of :func:`ngram_jaccard_pairs` (same PPJoin filters,
+    side-aware join). Returns ``(id_a, id_b, jaccard)`` with ``id_a`` from
+    ``left`` and ``id_b`` from ``right``; within-side pairs are never
+    generated, so a decontamination sweep costs the cross join only, not
+    the full self-join of the union.
+
+    The prefix filter orders shingles by UNION-wide frequency: the
+    prefix-filter theorem holds for ANY fixed total order of the universe,
+    so a shared ordering across both sides is lossless; frequency order is
+    the selectivity heuristic, exactly as in the self-join form.
+
+    Requires the two corpora's ``doc_id`` spaces to be disjoint (the
+    verification tier keys its broadcast arrays by doc_id alone); callers
+    with overlapping id spaces must re-key one side first.
+    """
+    from pyspark.sql import Window as W
+
+    shingler = {"char": char_shingles, "token": token_shingles}[shingle_kind]
+    # shingle each side, tag, union — row-local, no join back to the docs
+    sh_tagged = (
+        shingler(left, k).withColumn("_side", F.lit(0))
+        .unionByName(shingler(right, k).withColumn("_side", F.lit(1)))
+        .select("doc_id", "_side", F.xxhash64("shingle").alias("sh"))
+        .localCheckpoint()
+    )
+    with_n = (
+        sh_tagged.withColumn("freq", F.count("*").over(W.partitionBy("sh")))
+        .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+        .withColumn("rnk", F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "sh")))
+    )
+    prefix = (
+        with_n.filter(
+            F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "_side", "sh", "rnk", "n_sh")
+        .localCheckpoint()
+    )
+    a = prefix.filter(F.col("_side") == 0).alias("a")
+    b = prefix.filter(F.col("_side") == 1).alias("b")
+    alpha = F.ceil(
+        F.lit(threshold) / (1 + threshold) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    slack = F.least(
+        F.col("a.n_sh") - F.col("a.rnk"), F.col("b.n_sh") - F.col("b.rnk")
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            & (slack + 1 >= alpha),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_exact_jaccard(cands, sh_tagged.drop("_side"), threshold)
+
+
+def decontaminate(
+    train: DataFrame, held_out: DataFrame, k: int, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """Remove training docs that near-duplicate anything in a held-out set —
+    the eval-decontamination sweep every LLM training pipeline runs before
+    training (the reference has no cross-corpus mode at all; its loop
+    compares one directory against itself, tasks.py:69-96).
+
+    Returns ``(clean_train, contaminated)`` where ``contaminated`` carries
+    ``(doc_id, matched_eval_id, jaccard)`` — the strongest held-out match
+    per dropped doc, deterministically tie-broken — for the audit trail.
+    Exactness: candidates from the lossless cross-corpus PPJoin, verified
+    with exact set intersection; no LSH approximation in the drop decision.
+    """
+    pairs = ngram_jaccard_pairs_between(train, held_out, k, threshold)
+    contaminated = pairs.groupBy("id_a").agg(
+        F.max_by(
+            "id_b", F.struct(F.col("jaccard"), (-F.col("id_b")).alias("nid"))
+        ).alias("matched_eval_id"),
+        F.max("jaccard").alias("jaccard"),
+    ).withColumnRenamed("id_a", "doc_id")
+    clean = train.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    return clean, contaminated

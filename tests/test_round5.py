@@ -476,3 +476,45 @@ def test_stratified_sample_works_on_streams(spark, tmp_path_factory):
     }
     streamed_ids = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert streamed_ids == batch_ids and len(batch_ids) > 0
+
+
+def test_decontaminate_drops_near_dup_train_docs(spark):
+    """A train doc that near-duplicates a held-out doc is dropped with an
+    audit row naming its strongest match; unrelated train docs survive;
+    clean + contaminated partition the train set exactly."""
+    from facematch_spark.operators.dedup import decontaminate
+
+    eval_body = "def evaluate(batch):\n    return sum(score(x) for x in batch) / len(batch)\n" * 4
+    rows_train = [
+        (10, eval_body + "# train copy with a tweak\n", "en"),   # contaminated
+        (12, "a completely different module about arrow buffers " * 6, "en"),
+        (14, eval_body, "en"),                                   # exact copy
+    ]
+    rows_eval = [(21, eval_body, "en")]
+    train = spark.createDataFrame(rows_train, "doc_id long, text string, lang string")
+    held = spark.createDataFrame(rows_eval, "doc_id long, text string, lang string")
+
+    clean, contaminated = decontaminate(train, held, k=9, threshold=0.5)
+    kept = {r.doc_id for r in clean.collect()}
+    dropped = {r.doc_id: r for r in contaminated.collect()}
+    assert kept == {12}
+    assert set(dropped) == {10, 14}
+    assert dropped[14].matched_eval_id == 21 and dropped[14].jaccard == 1.0
+    assert dropped[10].jaccard >= 0.5
+    assert kept | set(dropped) == {10, 12, 14}
+
+
+def test_cross_corpus_pairs_never_within_side(spark):
+    """Two identical docs on the SAME side must not pair; the identical doc
+    across sides must."""
+    from facematch_spark.operators.dedup import ngram_jaccard_pairs_between
+
+    body = "shared body text for the cross corpus side test " * 4
+    left = spark.createDataFrame(
+        [(1, body, "en"), (2, body, "en")], "doc_id long, text string, lang string"
+    )
+    right = spark.createDataFrame(
+        [(31, body, "en")], "doc_id long, text string, lang string"
+    )
+    got = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs_between(left, right, 9, 0.5).collect()}
+    assert got == {(1, 31), (2, 31)}  # cross pairs only; (1,2) absent

@@ -166,7 +166,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "text_token_count", "text_quality", "text_langid", "text_fingerprint",
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding_cosine",
         "multimodal_meta", "multimodal_frames", "q_sample_stratified",
-        "curation_pipeline",
+        "curation_pipeline", "dedup_decontaminate",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

@@ -3,9 +3,10 @@
 ``entry(spark)`` — flagship near-dup pipeline on sf0.001.
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data-pipeline suites); each callable takes (spark, sf_dir).
-``oracle_sql()`` — DuckDB-runnable ANSI SQL twins. Omitted for genuinely
-non-SQL-expressible ops (MinHash/SimHash signatures, LSH ANN) — those are
-recall-gated against their exact twins in tests/ instead.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins; since round 3 EVERY
+queries() entry has one (approximate ops ship as verified-recall reports
+whose per-query exact values the oracle recomputes with its own SQL, and
+the hash-family SimHash variant is SQL-reproducible end to end).
 
 Column names are aligned pairwise (driver hashes values after sorting
 columns by name). Float outputs are rounded identically on both sides;

@@ -28,14 +28,17 @@ def curate(
     rates: dict[str, float],
     default_rate: float = 0.0,
     min_chars: int = 100,
+    score: F.Column | None = None,
 ) -> DataFrame:
     """documents → curated subset, deterministically.
 
     1. quality gate: drop docs under ``min_chars`` characters (a pushdown-able
        scan predicate — stand-in for any row-local quality score);
     2. near-dup clustering over the survivors (exact k-gram Jaccard ≥
-       ``threshold``) and representative election (longest doc, ties to min
-       doc_id) — one kept doc per duplicate cluster;
+       ``threshold``) and representative election — one kept doc per
+       duplicate cluster; ``score`` picks the survivor (default: longest
+       doc; pass any Column expression, e.g. a quality-model score column,
+       to keep-the-cleanest instead), ties to min doc_id;
     3. per-language stratified sample of the representatives (map-only hash
        predicate — reproducible, superset-consistent).
 
@@ -43,7 +46,7 @@ def curate(
     ``(doc_id, lang, cluster_id, n_members, sample_key)``.
     """
     q = docs.filter(F.length("text") >= min_chars)
-    reps = cluster_representatives(q, k, threshold)
+    reps = cluster_representatives(q, k, threshold, score=score)
     kept = q.join(
         reps.select(
             F.col("rep_id").alias("doc_id"), "cluster_id", "n_members"

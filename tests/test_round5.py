@@ -518,3 +518,36 @@ def test_cross_corpus_pairs_never_within_side(spark):
     )
     got = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs_between(left, right, 9, 0.5).collect()}
     assert got == {(1, 31), (2, 31)}  # cross pairs only; (1,2) absent
+
+
+def test_decontaminate_empty_held_out_keeps_everything(spark):
+    from facematch_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "some training document body " * 4, "en")],
+        "doc_id long, text string, lang string",
+    )
+    held = spark.createDataFrame([], "doc_id long, text string, lang string")
+    clean, contaminated = decontaminate(train, held, k=9, threshold=0.5)
+    assert clean.count() == 1 and contaminated.count() == 0
+
+
+def test_curation_custom_score_elects_different_rep(spark):
+    """Passing a score expression flips the election away from the default
+    keep-the-longest — e.g. prefer the SHORTEST doc via a negated length."""
+    from pyspark.sql import functions as F
+
+    from facematch_spark.plans.curation import curate
+
+    body = "def handler(event, ctx):\n    return process(event) or fallback(ctx)\n" * 4
+    rows = [(1, body, "en"), (2, body + "# extra trailing commentary\n", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    default_rep = {r.doc_id for r in curate(df, 9, 0.5, rates={"en": 1.0}).collect()}
+    short_rep = {
+        r.doc_id
+        for r in curate(
+            df, 9, 0.5, rates={"en": 1.0}, score=(-F.length("text")).cast("long")
+        ).collect()
+    }
+    assert default_rep == {2} and short_rep == {1}

@@ -340,6 +340,44 @@ def minhash_lsh_exact_pairs(
     )
 
 
+def minhash_lsh_exact_pairs_between(
+    left: DataFrame, right: DataFrame, cfg: DedupeConfig, walls: dict | None = None
+) -> DataFrame:
+    """Cross-corpus form of :func:`minhash_lsh_exact_pairs` — the
+    decontamination scale path when BOTH corpora are too large for the
+    exact cross-PPJoin (whose join volume follows the train side's prefix
+    relation): MinHash-band candidates across sides, then exact Jaccard
+    verification over the cfg shingle sets. Candidates ride
+    ``salted_probe_join`` (the asymmetric skew-safe equi-join — hot band
+    groups on the held-out side are salted, train probes replicated), so
+    boilerplate bands cannot concentrate a reducer. Same disjoint-doc_id
+    requirement as the exact cross form. Recall vs the exact operator is
+    pytest-gated at the planted-dup Jaccard level."""
+    from facematch_spark.operators.verify import exact_overlap_metrics
+
+    bands_l = (
+        L.band_explode(doc_signatures(left, cfg), cfg)
+        .withColumnRenamed("file_id", "id_a")
+        .localCheckpoint()
+    )
+    bands_r = (
+        L.band_explode(doc_signatures(right, cfg), cfg)
+        .withColumnRenamed("file_id", "id_b")
+        .localCheckpoint()
+    )
+    cands = L.salted_probe_join(
+        bands_l, bands_r,
+        keys=["band_id", "band_hash"],
+        left_id="id_a", right_id="id_b",
+        cap=cfg.hot_band_cap, salt_buckets=cfg.salt_buckets,
+    ).dropDuplicates(["id_a", "id_b"])
+    sh = doc_shingles(left, cfg).unionByName(doc_shingles(right, cfg))
+    m = exact_overlap_metrics(cands, sh, walls=walls)
+    return m.filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold)).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """Scale-path near-dup pairs: MinHash signatures → LSH bands → candidate
     join → MinHash-estimated Jaccard filter. Returns
@@ -739,7 +777,12 @@ def ngram_jaccard_pairs_between(
 
 
 def decontaminate(
-    train: DataFrame, held_out: DataFrame, k: int, threshold: float
+    train: DataFrame,
+    held_out: DataFrame,
+    k: int,
+    threshold: float,
+    method: str = "exact",
+    cfg: DedupeConfig | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Remove training docs that near-duplicate anything in a held-out set —
     the eval-decontamination sweep every LLM training pipeline runs before
@@ -749,10 +792,21 @@ def decontaminate(
     Returns ``(clean_train, contaminated)`` where ``contaminated`` carries
     ``(doc_id, matched_eval_id, jaccard)`` — the strongest held-out match
     per dropped doc, deterministically tie-broken — for the audit trail.
-    Exactness: candidates from the lossless cross-corpus PPJoin, verified
-    with exact set intersection; no LSH approximation in the drop decision.
+    ``method="exact"`` (default): candidates from the lossless cross-corpus
+    PPJoin, verified with exact set intersection — no approximation in the
+    drop decision. ``method="lsh"``: MinHash-band candidates (the scale
+    path when both corpora are huge), still exactly verified — the only
+    approximation is candidate RECALL, pytest-gated vs the exact form; the
+    ``cfg`` shingle/signature config drives it (k and threshold are taken
+    from cfg in this mode).
     """
-    pairs = ngram_jaccard_pairs_between(train, held_out, k, threshold)
+    if method == "lsh":
+        c = cfg or DedupeConfig(k=k, jaccard_threshold=threshold)
+        pairs = minhash_lsh_exact_pairs_between(train, held_out, c)
+    elif method == "exact":
+        pairs = ngram_jaccard_pairs_between(train, held_out, k, threshold)
+    else:
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
     contaminated = pairs.groupBy("id_a").agg(
         F.max_by(
             "id_b", F.struct(F.col("jaccard"), (-F.col("id_b")).alias("nid"))

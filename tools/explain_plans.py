@@ -130,6 +130,17 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # 11. cross-corpus decontamination: side-aware PPJoin — equi-join on the
+    # shared shingle hash, never a cartesian/nested-loop across corpora
+    from facematch_spark.operators.dedup import ngram_jaccard_pairs_between
+
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    summarize(
+        "cross-corpus pairs", ngram_jaccard_pairs_between(half_a, half_b, 9, 0.5),
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     spark.stop()
 
 

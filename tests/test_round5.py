@@ -581,3 +581,38 @@ def test_decontaminate_lsh_matches_exact_on_planted_dups(spark):
     lsh_ids = {r.doc_id for r in lsh.collect()}
     assert exact_ids, "fixture must plant at least one cross-side dup"
     assert lsh_ids == exact_ids
+
+
+def test_cross_corpus_equals_cross_subset_of_self_join(spark):
+    """Losslessness of the side-aware PPJoin: on any corpus split, the
+    cross-corpus operator returns EXACTLY the cross-side subset of the
+    self-join operator over the union — same pairs, same jaccard values
+    (both use the union-wide frequency order, so the prefix filters agree)."""
+    from facematch_spark.fixtures import corpus_to_pandas, generate_corpus
+    from facematch_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_between,
+    )
+
+    pdf = corpus_to_pandas(generate_corpus(n_base=30, seed=13, edge_rows=False))
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = pdf.index.astype("int64")
+    docs = spark.createDataFrame(
+        pdf.rename(columns={"content": "text"})[["doc_id", "text", "lang"]],
+        "doc_id long, text string, lang string",
+    )
+    left = docs.filter("doc_id % 2 = 0")
+    right = docs.filter("doc_id % 2 = 1")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_between(left, right, 9, 0.5).collect()
+    }
+    # self-join canonicalizes id_a < id_b; re-key to (even, odd) sides
+    want = {}
+    for r in ngram_jaccard_pairs(docs, 9, 0.5).collect():
+        ev, od = (r.id_a, r.id_b) if r.id_a % 2 == 0 else (r.id_b, r.id_a)
+        if ev % 2 == 0 and od % 2 == 1:
+            want[(ev, od)] = r.jaccard
+    assert want, "fixture must produce at least one cross-side pair"
+    assert got == want

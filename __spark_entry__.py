@@ -27,6 +27,8 @@ from facematch_spark.config import DedupeConfig
 K = 9
 JT = 0.5
 TK = 3  # token-shingle width for the token-mode Jaccard query
+SPAN_K = 30  # duplicate-span window width (chars) — Lee et al. use 50 BPE
+# tokens on web text; 30 chars fits the short fixture docs (median ~300)
 DOC_CFG = DedupeConfig(jaccard_threshold=JT, normalize=True)
 # stratified-sampling rates for q_sample_stratified (es/de fall through to
 # the default, exercising the otherwise-branch of the threshold CASE)
@@ -374,6 +376,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_md5_pairs(_t(spark, sf, "documents"), k=K, hamming_max=8)
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_duplicate_spans(spark, sf):
+        # exact-substring duplicate SPANS (Lee et al. 2022 shape): maximal
+        # per-doc char intervals covered by 30-char windows that also occur
+        # in another document — the "cut the span, keep the doc" manifest.
+        from facematch_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(_t(spark, sf, "documents"), k=SPAN_K)
+    q["dedup_duplicate_spans"] = dedup_duplicate_spans
+
     # ---- text analysis suite ----
 
     def text_token_count(spark, sf):
@@ -399,6 +410,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fingerprint(_t(spark, sf, "documents"))
     q["text_fingerprint"] = text_fingerprint
+
+    def text_repetition(spark, sf):
+        # Gopher-style repetition screens (Rae et al. 2021 A1.1): top-2/3-
+        # gram char fraction, duplicated-2-gram char mass, duplicated-token
+        # fraction — the standard pre-training repetition filter family.
+        from facematch_spark.operators.text import repetition_scores
+
+        return repetition_scores(_t(spark, sf, "documents"))
+    q["text_repetition"] = text_repetition
 
     # ---- similarity search over embeddings ----
 
@@ -928,6 +948,100 @@ def oracle_sql() -> dict[str, str]:
                md5(text) AS fp_exact,
                md5(trim(regexp_replace(lower(text), '[{_WSC}]+', ' ', 'g'))) AS fp_normalized
         FROM documents
+    """
+
+    o["text_repetition"] = rf"""
+        WITH toks AS (
+            SELECT doc_id, greatest(length(text), 1) AS n_chars,
+                   list_filter(regexp_split_to_array(text, '[{_WSC}]+'), x -> x != '') AS tk
+            FROM documents
+        ),
+        tok_counts AS (
+            SELECT doc_id, t, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+            GROUP BY doc_id, t
+        ),
+        tok_agg AS (
+            SELECT doc_id, sum(cnt) AS n_tok,
+                   sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_tok
+            FROM tok_counts GROUP BY doc_id
+        ),
+        g2 AS (
+            SELECT doc_id, g, count(*) AS cnt
+            FROM (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS g
+                  FROM toks WHERE len(tk) >= 2)
+            GROUP BY doc_id, g
+        ),
+        g3 AS (
+            SELECT doc_id, g, count(*) AS cnt
+            FROM (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]) AS g
+                  FROM toks WHERE len(tk) >= 3)
+            GROUP BY doc_id, g
+        ),
+        top2 AS (
+            SELECT doc_id, cnt * length(g) AS top2_chars
+            FROM (SELECT doc_id, g, cnt,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+                  FROM g2)
+            WHERE rn = 1
+        ),
+        top3 AS (
+            SELECT doc_id, cnt * length(g) AS top3_chars
+            FROM (SELECT doc_id, g, cnt,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+                  FROM g3)
+            WHERE rn = 1
+        ),
+        dup2 AS (
+            SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup2_chars
+            FROM g2 GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               round(coalesce(top2_chars, 0) / t.n_chars, 4) AS top_2gram_frac,
+               round(coalesce(top3_chars, 0) / t.n_chars, 4) AS top_3gram_frac,
+               round(coalesce(dup2_chars, 0) / t.n_chars, 4) AS dup_2gram_frac,
+               round(coalesce(dup_tok, 0) / greatest(coalesce(n_tok, 0), 1), 4) AS dup_token_frac
+        FROM toks t
+        LEFT JOIN tok_agg USING (doc_id)
+        LEFT JOIN top2 USING (doc_id)
+        LEFT JOIN top3 USING (doc_id)
+        LEFT JOIN dup2 USING (doc_id)
+    """
+
+    _sk = 30  # == SPAN_K
+    o["dedup_duplicate_spans"] = f"""
+        WITH eligible AS (
+            SELECT doc_id, text FROM documents WHERE length(text) >= {_sk}
+        ),
+        gd AS (
+            SELECT doc_id,
+                   unnest(list_distinct([substr(text, i, {_sk}) for i in range(1, length(text) - {_sk - 2})])) AS g
+            FROM eligible
+        ),
+        dup AS (SELECT g FROM gd GROUP BY g HAVING count(*) >= 2),
+        pos AS (
+            SELECT doc_id, i AS pos, substr(text, i, {_sk}) AS g
+            FROM (SELECT doc_id, text, unnest(range(1, length(text) - {_sk - 2})) AS i FROM eligible)
+        ),
+        dpos AS (
+            SELECT doc_id, pos FROM pos WHERE g IN (SELECT g FROM dup)
+        ),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_sk}
+                        THEN 1 ELSE 0 END AS b
+            FROM dpos
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {_sk} AS BIGINT) AS span_end,
+               CAST(max(pos) + {_sk} - min(pos) AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, island
     """
 
     o["ann_cosine_topk"] = """

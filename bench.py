@@ -167,6 +167,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding_cosine",
         "multimodal_meta", "multimodal_frames", "q_sample_stratified",
         "curation_pipeline", "dedup_decontaminate",
+        "dedup_duplicate_spans", "text_repetition",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization
@@ -183,6 +184,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "dedup_simhash": lambda st: D.simhash_md5_pairs(docs, k=E.K, hamming_max=8, walls=st),
         "dedup_clusters": lambda st: D.dedup_clusters(docs, E.K, E.JT, walls=st),
         "dedup_minhash_lsh": lambda st: D.minhash_lsh_exact_pairs(docs, E.DOC_CFG, walls=st),
+        "dedup_duplicate_spans": lambda st: D.duplicate_spans(docs, k=E.SPAN_K, walls=st),
     }
 
     def timed_staged(name: str) -> None:

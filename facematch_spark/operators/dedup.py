@@ -70,6 +70,19 @@ def char_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     from facematch_spark.operators.signatures import _ensure_parallel
 
     docs = _ensure_parallel(docs)
+    grams = F.array_distinct(_gram_array(text_col, k))
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+    )
+
+
+def _gram_array(text_col: str, k: int):
+    """Ordered, NON-distinct char k-gram array: element ``i`` (0-based) is
+    the k-gram starting at 1-based char position ``i + 1``. Callers must
+    filter ``length(text_col) >= k`` first (``sequence(1, 0)`` would count
+    DOWN). Shared by ``char_shingles`` (distinct + explode) and
+    ``duplicate_spans`` (posexplode — positions matter there)."""
     n_positions = F.greatest(F.length(text_col) - (k - 1), F.lit(0))
     substr_grams = F.transform(
         F.sequence(F.lit(1), n_positions),
@@ -78,15 +91,9 @@ def char_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
     regex_grams = F.regexp_extract_all(
         F.col(text_col), F.lit(f"(?s)(?=(.{{{k}}}))"), F.lit(1)
     )
-    grams = F.array_distinct(
-        F.when(
-            F.length(text_col) <= F.lit(_SUBSTR_SHINGLE_MAX_CHARS), substr_grams
-        ).otherwise(regex_grams)
-    )
-    return (
-        docs.filter(F.length(text_col) >= k)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-    )
+    return F.when(
+        F.length(text_col) <= F.lit(_SUBSTR_SHINGLE_MAX_CHARS), substr_grams
+    ).otherwise(regex_grams)
 
 
 def token_shingles(docs: DataFrame, k: int, text_col: str = "text") -> DataFrame:
@@ -815,3 +822,94 @@ def decontaminate(
     ).withColumnRenamed("id_a", "doc_id")
     clean = train.join(contaminated.select("doc_id"), "doc_id", "left_anti")
     return clean, contaminated
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 30,
+    hash_grams: bool = False,
+    walls: dict | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS — the "remove the duplicated span,
+    not the document" operator of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", public), re-expressed as a dataflow
+    instead of a corpus-wide suffix array.
+
+    A char position-window ``[p, p + k)`` of a document is *duplicated* when
+    its k-gram also occurs in at least one OTHER document (cross-document by
+    design: within-doc repetition — loops, license boilerplate repeated in
+    one file — is legitimate structure and is NOT flagged; Lee et al.'s
+    suffix-array form also counts within-doc repeats, documented delta).
+    Overlapping/adjacent duplicated windows merge into maximal spans.
+
+    Returns ``(doc_id, span_start, span_end, span_len)`` — 1-based char
+    offsets, ``span_end`` exclusive, all BIGINT. Downstream a trainer cuts
+    ``text[span_start, span_end)`` or drops docs whose duplicated-char
+    fraction is high.
+
+    Dataflow (all built-in expressions, no UDF):
+
+      1. distinct per-doc k-grams (``char_shingles`` — linear-time on any
+         doc length via the round-5 regex branch) → grams in ≥ 2 docs;
+      2. doc prefilter: only docs containing ≥ 1 duplicated gram position-
+         explode — on a mostly-clean corpus the O(total_chars) positional
+         relation is built for the dirty sliver only;
+      3. positional semi-join against the duplicated-gram set (equi-join,
+         AQE-skew-safe: a hot gram concentrates per doc_id, not per key);
+      4. per-doc gaps-and-islands merge: window break at gap > k, running
+         sum → island id, groupBy island → span bounds. Windows at p < q
+         merge iff ``q - p <= k`` (coverage is contiguous up to adjacency).
+
+    ``hash_grams=True`` shuffles ``xxhash64(gram)`` (8 bytes) instead of the
+    k-char string — the 100 TB shuffle diet. Collisions can only ADD false
+    duplicated windows (expected extra windows ≈ n²/2⁶⁵ over n total grams —
+    ~10⁻⁴ per doc-pair at 10¹⁴ grams); parity with the exact form is
+    pytest-pinned on the fixture corpus.
+    """
+    from pyspark.sql import Window as W
+
+    t0 = start()
+    eligible = docs.filter(F.length("text") >= k).select("doc_id", "text")
+    grams = char_shingles(docs, k)
+    key = (F.xxhash64("shingle") if hash_grams else F.col("shingle")).alias("g")
+    gk = grams.select("doc_id", key)
+    # small (duplicated grams only) but consumed by TWO semi-joins — the
+    # checkpoint stops the full shingle groupBy from running twice, and is
+    # the operator's one eager boundary (walls: dup_grams_s = shingle +
+    # dedup-detection; everything after is the lazy positional tail).
+    dup_grams = (
+        gk.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))  # per-doc-distinct → count == doc count
+        .filter(F.col("n_docs") >= 2)
+        .select("g")
+        .localCheckpoint()
+    )
+    hit_docs = gk.join(dup_grams, "g", "left_semi").select("doc_id").distinct()
+    mark(walls, "dup_grams_s", t0)
+
+    pos_key = (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("g")
+    positions = (
+        eligible.join(hit_docs, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode(_gram_array("text", k)).alias("idx", "gram"))
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), pos_key)
+    )
+    dup_pos = positions.join(dup_grams, "g", "left_semi").select("doc_id", "pos")
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    spans = (
+        dup_pos.withColumn("brk", brk)  # two steps: window-in-window is illegal
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+    return spans

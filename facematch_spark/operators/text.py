@@ -79,3 +79,88 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("fp_exact"),
         F.md5(norm).alias("fp_normalized"),
     )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition screens (Rae et al. 2021, appendix A1.1 —
+    public) over word n-grams. The fixture corpus is single-line text, so
+    the line-level Gopher rules would be constant here; the n-gram family is
+    the live one and the line rules are a trivial re-instantiation (split on
+    newline instead of whitespace).
+
+    Columns (all round(·, 4), denominators = char length of the doc):
+
+      * ``top_2gram_frac`` / ``top_3gram_frac`` — chars covered by the most
+        frequent word n-gram (count × gram length ÷ n_chars); ties break to
+        the lexicographically smallest gram; 0.0 when the doc has no n-gram.
+      * ``dup_2gram_frac`` — Σ over 2-grams occurring > 1× of
+        count × gram length ÷ n_chars — the sum-of-occurrences form of
+        Gopher's "fraction of characters in duplicate n-grams" (overlaps
+        counted per occurrence, the common public reproduction; can
+        exceed 1 on degenerate repetition, which is precisely the signal).
+      * ``dup_token_frac`` — fraction of token positions whose token occurs
+        more than once in the doc.
+
+    Shape: explode n-grams → groupBy(doc_id, gram) → per-doc re-aggregate.
+    Deliberately NOT the map-only higher-order-function form: per-row
+    ``transform(array_distinct(g), d -> size(filter(g, x = d)))`` is
+    O(distinct × positions) per doc — quadratic, the same cliff class as the
+    round-5 substr-shingle bug (a 1 MB doc would stall a task for minutes).
+    The explode+groupBy form is linear, map-side-combined (partial counts
+    before the shuffle), and AQE-skew-safe since the grouping key includes
+    doc_id. A per-doc ``array_sort`` + run-length scan (O(n log n), zero
+    shuffle) is the recorded alternative if this shuffle ever binds — see
+    SCALE.md.
+    """
+    toks = tokens_col()
+    base = docs.select("doc_id", F.greatest(F.length("text"), F.lit(1)).alias("n_chars"))
+
+    tok_rel = docs.select("doc_id", F.explode(toks).alias("tok"))
+    tok_counts = tok_rel.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    tok_agg = tok_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tok"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_tok"),
+    )
+
+    def _gram_aggs(n: int):
+        d = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") >= n)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("tk", i, F.lit(n))),
+        )
+        rel = d.select("doc_id", F.explode(grams).alias("g"))
+        counts = rel.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("doc_id", (F.col("cnt") * F.length("g")).alias(f"top{n}_chars"))
+        )
+        dup = counts.groupBy("doc_id").agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(0)
+            ).alias(f"dup{n}_chars")
+        )
+        return top, dup
+
+    top2, dup2 = _gram_aggs(2)
+    top3, _ = _gram_aggs(3)
+
+    out = (
+        base.join(tok_agg, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .join(dup2, "doc_id", "left")
+    )
+    z = F.lit(0)
+    return out.select(
+        "doc_id",
+        F.round(F.coalesce("top2_chars", z) / F.col("n_chars"), 4).alias("top_2gram_frac"),
+        F.round(F.coalesce("top3_chars", z) / F.col("n_chars"), 4).alias("top_3gram_frac"),
+        F.round(F.coalesce("dup2_chars", z) / F.col("n_chars"), 4).alias("dup_2gram_frac"),
+        F.round(
+            F.coalesce("dup_tok", z) / F.greatest(F.coalesce("n_tok", z), F.lit(1)), 4
+        ).alias("dup_token_frac"),
+    )

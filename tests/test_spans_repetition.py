@@ -1,0 +1,131 @@
+"""Round-5 additions: exact-substring duplicate spans (Lee et al. 2022
+shape) and Gopher-style repetition screens (Rae et al. 2021 A1.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_duplicate_spans_basic_merge(spark):
+    from facematch_spark.operators.dedup import duplicate_spans
+
+    # two docs share a 40-char run; k=10 windows covering it must merge into
+    # ONE maximal span per doc, at the right offsets.
+    shared = "0123456789" * 4  # 40 chars
+    a = "aaaaa" + shared + "bbbbbbbb"  # span at 6..46 (1-based, end excl)
+    b = "cc" + shared + "dd"  # span at 3..43
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_spans(_docs(spark, [a, b]), k=10).collect()
+    }
+    # NOTE: `shared` repeats its own 10-gram internally ("9012345678" etc.
+    # appear 4x within one doc) — but within-doc repeats don't create
+    # duplication; cross-doc sharing does, and here every window of `shared`
+    # appears in both docs, so coverage is exactly the shared run.
+    assert out[0] == (6, 6 + 40, 40)
+    assert out[1] == (3, 3 + 40, 40)
+
+
+def test_duplicate_spans_gap_splits_islands(spark):
+    from facematch_spark.operators.dedup import duplicate_spans
+
+    # two shared runs separated by a long unique middle → two spans, not one.
+    run1, run2 = "x" * 20, "y" * 20
+    a = run1 + "-unique-middle-part-alpha-" + run2
+    b = run1 + "=differently=unique=beta==" + run2
+    out = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(_docs(spark, [a, b]), k=10)
+        .filter("doc_id = 0")
+        .collect()
+    )
+    assert out == [(1, 21), (47, 67)]
+
+
+def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
+    from facematch_spark.operators.dedup import duplicate_spans
+
+    # doc 0 repeats a block internally; no other doc shares it → no spans.
+    rows = ["zqzqzqzqzqzqzqzqzqzqzqzqzqzqzq", "totally different content here"]
+    assert duplicate_spans(_docs(spark, rows), k=10).count() == 0
+
+
+def test_duplicate_spans_short_docs_excluded(spark):
+    from facematch_spark.operators.dedup import duplicate_spans
+
+    rows = ["short", "short"]  # len 5 < k → no windows at all
+    assert duplicate_spans(_docs(spark, rows), k=10).count() == 0
+
+
+def test_duplicate_spans_hash_grams_parity(spark, tiny_df):
+    """xxhash64-keyed shuffle diet must produce byte-identical spans on the
+    fixture corpus (collisions are the only delta and are ~2⁻⁶⁴ here)."""
+    from facematch_spark.operators.dedup import duplicate_spans
+
+    docs = tiny_df.selectExpr(
+        "xxhash64(repo, path, commit) AS doc_id", "content AS text"
+    )
+    exact = set(map(tuple, duplicate_spans(docs, k=30).collect()))
+    hashed = set(map(tuple, duplicate_spans(docs, k=30, hash_grams=True).collect()))
+    assert exact == hashed
+    assert exact  # the fixture plants dup families — spans must exist
+
+
+def test_duplicate_spans_plan_no_cartesian(spark, tiny_df):
+    from facematch_spark.operators.dedup import duplicate_spans
+
+    docs = tiny_df.selectExpr(
+        "xxhash64(repo, path, commit) AS doc_id", "content AS text"
+    )
+    plan = duplicate_spans(docs, k=30)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ----------------------------------------------------------- repetition
+
+
+def test_repetition_scores_degenerate_doc(spark):
+    from facematch_spark.operators.text import repetition_scores
+
+    # "a a a a" — 7 chars, 4 tokens all dup; 3 occurrences of 2-gram "a a"
+    # (len 3) → top/dup 2-gram mass 9/7; 2 occurrences of "a a a" → 10/7.
+    row = repetition_scores(_docs(spark, ["a a a a"])).collect()[0]
+    assert row["dup_token_frac"] == 1.0
+    assert row["top_2gram_frac"] == round(9 / 7, 4)
+    assert row["dup_2gram_frac"] == round(9 / 7, 4)
+    assert row["top_3gram_frac"] == round(10 / 7, 4)
+
+
+def test_repetition_scores_unique_doc(spark):
+    from facematch_spark.operators.text import repetition_scores
+
+    # all-unique tokens: no dup mass; top 2-gram has count 1 and ties break
+    # to the lexicographically smallest gram ("alpha beta", len 10 over 22).
+    row = repetition_scores(_docs(spark, ["alpha beta gamma delta"])).collect()[0]
+    assert row["dup_token_frac"] == 0.0
+    assert row["dup_2gram_frac"] == 0.0
+    assert row["top_2gram_frac"] == round(10 / 22, 4)
+
+
+def test_repetition_scores_tiny_docs_zero_grams(spark):
+    from facematch_spark.operators.text import repetition_scores
+
+    # one-token and empty-ish docs: gram relations are empty → coalesced 0s,
+    # and every input doc still yields exactly one output row.
+    out = repetition_scores(_docs(spark, ["solo", " "]))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["top_2gram_frac"] == 0.0
+        assert r["top_3gram_frac"] == 0.0
+        assert r["dup_2gram_frac"] == 0.0
+        assert r["dup_token_frac"] == 0.0

@@ -289,6 +289,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_events_hourly"] = q_events_hourly
 
+    def q_asof_join(spark, sf):
+        # backward as-of join (events ← most recent order of the same
+        # customer at event time) via the union-sort-window form — no join
+        # node, one shuffle; ties on order date break to max orderkey.
+        from facematch_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events").select("event_id", "user_id", "ts", "event_type")
+        return asof_join(
+            ev,
+            _t(spark, sf, "orders"),
+            "user_id",
+            "o_custkey",
+            "ts",
+            "o_orderdate",
+            payload={
+                "o_orderkey": "matched_orderkey",
+                "o_orderdate": "matched_orderdate",
+                "o_totalprice": "matched_totalprice",
+            },
+            tie_col="o_orderkey",
+        )
+    q["q_asof_join"] = q_asof_join
+
+    def q_range_join(spark, sf):
+        # keyless point-interval range join: per event, count events in the
+        # strictly-preceding 5-minute window, via the 2-probe binned
+        # equi-join decomposition (exact residual on full timestamps).
+        from facematch_spark.operators.temporal import range_join_count
+
+        ev = _t(spark, sf, "events").select("event_id", "ts")
+        return range_join_count(ev, ev, "ts", "ts", 300, out_col="n_prev_5min")
+    q["q_range_join"] = q_range_join
+
     def streaming_event_counts(spark, sf):
         # the SAME aggregation executed by the Structured Streaming engine
         # (availableNow trigger → memory sink), proving the streaming path.
@@ -720,6 +753,32 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
     o["q_events_hourly"] = _hourly
+
+    o["q_asof_join"] = """
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts, event_type,
+               o_orderkey AS matched_orderkey,
+               o_orderdate AS matched_orderdate,
+               o_totalprice AS matched_totalprice
+        FROM ranked WHERE rn = 1
+    """
+
+    o["q_range_join"] = """
+        SELECT e.event_id, e.ts,
+               CAST(count(f.ts) AS BIGINT) AS n_prev_5min
+        FROM events e LEFT JOIN events f
+          ON f.ts >= e.ts - INTERVAL 300 SECOND AND f.ts < e.ts
+        GROUP BY e.event_id, e.ts
+    """
     o["streaming_event_counts"] = _hourly
 
     o["dedup_exact_groups"] = """

@@ -1,0 +1,128 @@
+"""As-of join (union-sort-window) and binned point-interval range join."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, key long, ts timestamp")
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "order_id long, cust long, odate timestamp, amount double")
+
+
+def _asof(left, right):
+    from facematch_spark.operators.temporal import asof_join
+
+    return asof_join(
+        left, right, "key", "cust", "ts", "odate",
+        payload={"order_id": "m_order", "amount": "m_amount"},
+        tie_col="order_id",
+    )
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    left = _events(spark, [
+        (1, 10, _ts("2024-01-05T00:00:00")),   # after two orders → latest wins
+        (2, 10, _ts("2024-01-02T00:00:00")),   # exactly AT an order date → matches it
+        (3, 10, _ts("2023-12-31T00:00:00")),   # before all orders → nulls
+        (4, 99, _ts("2024-01-05T00:00:00")),   # key with no orders → nulls
+    ])
+    right = _orders(spark, [
+        (100, 10, _ts("2024-01-01T00:00:00"), 5.0),
+        (101, 10, _ts("2024-01-02T00:00:00"), 7.0),
+        (102, 10, _ts("2024-01-09T00:00:00"), 9.0),  # future → never matched
+    ])
+    got = {r["event_id"]: (r["m_order"], r["m_amount"]) for r in _asof(left, right).collect()}
+    assert got == {1: (101, 7.0), 2: (101, 7.0), 3: (None, None), 4: (None, None)}
+
+
+def test_asof_tie_breaks_to_max_tie_col(spark):
+    left = _events(spark, [(1, 10, _ts("2024-01-05T00:00:00"))])
+    right = _orders(spark, [
+        (100, 10, _ts("2024-01-01T00:00:00"), 5.0),
+        (107, 10, _ts("2024-01-01T00:00:00"), 7.0),  # same date, higher id wins
+    ])
+    [row] = _asof(left, right).collect()
+    assert (row["m_order"], row["m_amount"]) == (107, 7.0)
+
+
+def test_asof_preserves_all_left_rows_and_columns(spark, spark_sf_dir="/root/testdata/sf0.001"):
+    from facematch_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{spark_sf_dir}/events.parquet").select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(f"{spark_sf_dir}/orders.parquet")
+    out = asof_join(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+                    payload={"o_orderkey": "m"}, tie_col="o_orderkey")
+    assert out.count() == ev.count()
+    assert out.columns == ["event_id", "user_id", "ts", "m"]
+
+
+def test_asof_plan_has_no_join_node(spark):
+    left = _events(spark, [(1, 10, _ts("2024-01-05T00:00:00"))])
+    right = _orders(spark, [(100, 10, _ts("2024-01-01T00:00:00"), 5.0)])
+    plan = _asof(left, right)._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan, node
+
+
+def test_range_join_count_boundaries(spark):
+    from facematch_spark.operators.temporal import range_join_count
+
+    base = _ts("2024-01-01T12:00:00")
+    pts = spark.createDataFrame([(1, base)], "event_id long, ts timestamp")
+    others = spark.createDataFrame(
+        [
+            (10, base - timedelta(seconds=300)),            # == lo → included
+            (11, base - timedelta(seconds=299, microseconds=999999)),  # inside
+            (12, base - timedelta(seconds=300, microseconds=1)),       # just out
+            (13, base),                                     # == pt → excluded (strict)
+            (14, base - timedelta(seconds=1)),              # inside, same bin
+            (15, base + timedelta(seconds=1)),              # future → excluded
+        ],
+        "oid long, ts timestamp",
+    )
+    [row] = range_join_count(pts, others, "ts", "ts", 300, out_col="n").collect()
+    assert row["n"] == 3  # 10, 11, 14
+
+
+def test_range_join_zero_match_points_survive(spark):
+    from facematch_spark.operators.temporal import range_join_count
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00")), (2, _ts("2024-06-01T00:00:00"))],
+        "event_id long, ts timestamp",
+    )
+    others = spark.createDataFrame([(9, _ts("2030-01-01T00:00:00"))], "oid long, ts timestamp")
+    got = {r["event_id"]: r["n_in_range"] for r in range_join_count(pts, others, "ts", "ts", 60).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_range_join_matches_bruteforce_on_fixture(spark):
+    """Binned decomposition == brute-force O(N²) filter on real event data
+    (microsecond timestamps cross bin boundaries arbitrarily)."""
+    from facematch_spark.operators.temporal import range_join_count
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("event_id", "ts")
+    got = {r["event_id"]: r["n"] for r in range_join_count(ev, ev, "ts", "ts", 300, out_col="n").collect()}
+    rows = ev.collect()
+    for r in rows[:200]:  # spot-check a slice; full corpus in the DuckDB oracle
+        expect = sum(1 for f in rows if r["ts"] - timedelta(seconds=300) <= f["ts"] < r["ts"])
+        assert got[r["event_id"]] == expect
+
+
+def test_range_join_plan_no_cartesian(spark):
+    from facematch_spark.operators.temporal import range_join_count
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("event_id", "ts")
+    plan = range_join_count(ev, ev, "ts", "ts", 300)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -336,6 +336,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def streaming_dedup_fps(spark, sf):
+        # streaming exact-dedup under the REAL engine: document stream →
+        # md5 fingerprint → state-store dropDuplicates → append sink; row
+        # set == batch DISTINCT (deterministic because only the key is
+        # projected).
+        from facematch_spark.streaming.incremental import streaming_exact_dedup
+
+        return streaming_exact_dedup(spark, f"{sf}/documents.parquet")
+    q["streaming_dedup_fps"] = streaming_dedup_fps
+
     # ---- dedup suite over documents (the engine's core, §2.2-2.4/2.10) ----
 
     def dedup_exact_groups(spark, sf):
@@ -780,6 +790,10 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.event_id, e.ts
     """
     o["streaming_event_counts"] = _hourly
+
+    o["streaming_dedup_fps"] = """
+        SELECT DISTINCT md5(text) AS fp FROM documents
+    """
 
     o["dedup_exact_groups"] = """
         SELECT md5(text) AS fp, count(*) AS group_size, min(doc_id) AS rep_id

@@ -113,3 +113,47 @@ def run_streaming_event_counts(spark: SparkSession, parquet_path: str) -> DataFr
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_exact_dedup(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """Streaming exact deduplication: fingerprint each arriving document
+    (md5 over text — the reference's pair-key trick per doc) and emit each
+    distinct fingerprint exactly once via the streaming state-store dedup
+    operator (``dropDuplicates``). Output is projected to the key column
+    only, so the emitted ROW SET is deterministic regardless of arrival
+    order (which payload row arrives first is not).
+
+    State note for real streams: unbounded ``dropDuplicates`` state grows
+    with distinct keys (~16 B/key here — 16 TB at 10^12 docs, spread over
+    the cluster's state stores but unbounded in time). Production streams
+    bound it with ``withWatermark + dropDuplicatesWithinWatermark`` —
+    exactly-once within the watermark horizon, re-emission possible past it
+    (semantics pinned in ``tests/test_streaming_incremental.py``). For the
+    drain-a-directory ``availableNow`` shape here, the unbounded form is
+    the correct one: it IS the batch-distinct answer.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        staged = tempfile.mkdtemp(prefix="fm_stream_dedup_")
+        shutil.copy(parquet_path, staged)
+        parquet_path = staged
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(parquet_path)
+    )
+    fps = stream.select(F.md5("text").alias("fp")).dropDuplicates(["fp"])
+    name = f"stream_dedup_{abs(hash(parquet_path)) % 10_000_000}"
+    q = (
+        fps.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -50,3 +50,64 @@ def test_incremental_sign_exactly_once(spark, tmp_path_factory):
     incremental_sign(spark, input_dir, ckpt, out, CFG)
     spark.catalog.refreshByPath(out)
     assert spark.read.schema(S.SIGNATURES).parquet(out).count() == len(p1) + len(p2)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path_factory):
+    """Duplicates split ACROSS stream files (hence across micro-batches at
+    maxFilesPerTrigger=4) must still emit once — state-store dedup, not
+    per-batch distinct — and the row set must equal batch DISTINCT."""
+    import pandas as pd
+
+    from facematch_spark.streaming.incremental import streaming_exact_dedup
+
+    d = tmp_path_factory.mktemp("stream_dedup")
+    texts_a = [f"unique doc {i}" for i in range(10)] + ["shared alpha", "shared beta"]
+    texts_b = ["shared alpha", "shared beta", "only in b", "shared alpha"]
+    for name, texts, base in (("a.parquet", texts_a, 0), ("b.parquet", texts_b, 100)):
+        pd.DataFrame(
+            {"doc_id": range(base, base + len(texts)), "text": texts}
+        ).to_parquet(str(d / name))
+
+    out = streaming_exact_dedup(spark, str(d))
+    got = {r["fp"] for r in out.collect()}
+    expect = {
+        r["fp"]
+        for r in spark.read.parquet(str(d))
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert got == expect
+    assert len(got) == 13  # 10 unique + 2 shared + 1 only-in-b
+    assert out.count() == 13  # emitted exactly once each
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path_factory):
+    """The state-bounded production variant: dropDuplicatesWithinWatermark
+    removes duplicates arriving inside the watermark horizon. All fixture
+    events fit inside one horizon here, so the emitted set must equal the
+    batch distinct of the key."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("stream_wm")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")[["ts", "user_id"]]
+    ev.to_parquet(str(d / "ev.parquet"))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"] for r in spark.table("wm_dedup_out").collect()}
+    assert got == {int(u) for u in ev["user_id"].unique()}

@@ -336,6 +336,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def q_distinct_sketch(spark, sf):
+        # KMV k-minimum-values distinct-count sketch (deterministic, unlike
+        # HLL — hence SQL-oracle-able): per order priority, estimate the
+        # distinct customer count (k=64, ~12.5% theoretical error) next to
+        # the exact count. The operator's adaptive map-side prefilter is
+        # output-identical to this textbook form by construction.
+        from facematch_spark.operators.sketch import kmv_distinct
+
+        orders = _t(spark, sf, "orders")
+        est = kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
+        exact = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+            F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+        )
+        return est.join(exact, "grp").select(
+            F.col("grp").alias("o_orderpriority"), "est_distinct", "exact_distinct"
+        )
+    q["q_distinct_sketch"] = q_distinct_sketch
+
     def streaming_dedup_fps(spark, sf):
         # streaming exact-dedup under the REAL engine: document stream →
         # md5 fingerprint → state-store dropDuplicates → append sink; row
@@ -790,6 +808,31 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.event_id, e.ts
     """
     o["streaming_event_counts"] = _hourly
+
+    o["q_distinct_sketch"] = """
+        WITH hv AS (
+            SELECT DISTINCT o_orderpriority AS grp,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+            FROM orders
+        ),
+        ranked AS (
+            SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM hv
+        ),
+        est AS (
+            SELECT grp,
+                   round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                              ELSE 63.0 * 4294967296.0 / max(hv) END, 2) AS est_distinct
+            FROM ranked WHERE rn <= 64 GROUP BY grp
+        ),
+        exact AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+            FROM orders GROUP BY 1
+        )
+        SELECT e.grp AS o_orderpriority, e.est_distinct, x.exact_distinct
+        FROM est e JOIN exact x USING (grp)
+    """
 
     o["streaming_dedup_fps"] = """
         SELECT DISTINCT md5(text) AS fp FROM documents

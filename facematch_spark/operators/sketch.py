@@ -89,7 +89,12 @@ def kmv_distinct(
     if not prefilter:
         return _kmv_estimate(hashed_raw.dropDuplicates(["grp", "hv"]), k)
 
-    counts = hashed_raw.groupBy("grp").agg(F.count("*").alias("n_rows"))
+    # counts and survivors are tiny (one row per group; ≤ C·k rows per
+    # group) but each feeds MULTIPLE consumers — checkpoint them so the
+    # full-relation scan+filter lineage runs once, not once per consumer.
+    counts = (
+        hashed_raw.groupBy("grp").agg(F.count("*").alias("n_rows")).localCheckpoint()
+    )
     tau = counts.select(
         "grp",
         F.least(
@@ -104,6 +109,7 @@ def kmv_distinct(
         .filter(F.col("hv") < F.col("tau"))
         .select("grp", "hv")
         .dropDuplicates(["grp", "hv"])
+        .localCheckpoint()
     )
     surv_counts = survivors.groupBy("grp").agg(F.count("*").alias("n_surv"))
     ok_groups = surv_counts.filter(F.col("n_surv") >= k).select("grp")

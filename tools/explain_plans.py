@@ -141,6 +141,56 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # 12. as-of join: the union-sort-window form must have NO join node —
+    # one exchange on the key, one sort, a window
+    from facematch_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "user_id", "ts")
+    summarize(
+        "as-of join",
+        asof_join(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+                  payload={"o_orderkey": "m"}, tie_col="o_orderkey"),
+        expect=[r"Window"],
+        forbid=[r"SortMergeJoin", r"BroadcastHashJoin", r"ShuffledHashJoin",
+                r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
+    # 13. range join: binned decomposition — an equi-join (hash on _bin),
+    # never a nested-loop over the raw range predicate
+    from facematch_spark.operators.temporal import range_join_count
+
+    summarize(
+        "range join (binned)",
+        range_join_count(ev.select("event_id", "ts"), ev.select("ts"), "ts", "ts", 300),
+        expect=[r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
+    )
+
+    # 14. duplicate spans: equi-joins only; scan prunes to (doc_id, text)
+    from facematch_spark.operators.dedup import duplicate_spans
+
+    summarize(
+        "duplicate spans",
+        duplicate_spans(docs, k=30),
+        expect=[r"ReadSchema: .*doc_id.*text|ReadSchema: .*text"],
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
+    )
+
+    # 15. KMV sketch: the prefilter must sit BEFORE the dedup exchange
+    # (map-side hv < tau), joins on grp are broadcastable
+    from facematch_spark.operators.sketch import kmv_distinct
+
+    # the hv < τ prefilter folds into the grp-join's residual condition and
+    # executes INSIDE the survivors localCheckpoint (eager at construction),
+    # so the final plan only shows the post-checkpoint joins; static SMJs on
+    # the tiny checkpointed group lists become broadcasts under AQE at
+    # runtime (checkpointed RDDs carry no static stats)
+    summarize(
+        "kmv distinct sketch",
+        kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64),
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
+    )
+
     spark.stop()
 
 

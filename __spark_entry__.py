@@ -336,6 +336,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def q_percentiles(spark, sf):
+        # exact interpolated percentiles (Spark `percentile` ==
+        # DuckDB `quantile_cont` bit-for-bit — probed, not assumed).
+        # Scale note: exact percentile buffers per-group value counts on
+        # the reducer — right up to ~10^8 distinct values/group; past that
+        # the engine path is approx_percentile(ε) (deterministic
+        # GK-sketch, but not SQL-twin-able) — documented tradeoff.
+        li = _t(spark, sf, "lineitem")
+        p = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(p.alias("ps"), F.count("*").cast("long").alias("n_rows"))
+            .select(
+                "l_returnflag",
+                F.col("ps")[0].alias("p50"),
+                F.col("ps")[1].alias("p90"),
+                F.col("ps")[2].alias("p99"),
+                "n_rows",
+            )
+        )
+    q["q_percentiles"] = q_percentiles
+
     def q_distinct_sketch(spark, sf):
         # KMV k-minimum-values distinct-count sketch (deterministic, unlike
         # HLL — hence SQL-oracle-able): per order priority, estimate the
@@ -808,6 +830,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.event_id, e.ts
     """
     o["streaming_event_counts"] = _hourly
+
+    o["q_percentiles"] = """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """
 
     o["q_distinct_sketch"] = """
         WITH hv AS (

@@ -126,3 +126,68 @@ def test_range_join_plan_no_cartesian(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select("event_id", "ts")
     plan = range_join_count(ev, ev, "ts", "ts", 300)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof_property(spark):
+    """Property: on random keyed event/order sets, asof_join equals pandas
+    merge_asof(direction='backward', allow_exact_matches=True) with the
+    right side sorted by (ts, tie) so pandas' last-among-ties == our max
+    tie_col. An independent oracle — no SQL, no Spark."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from facematch_spark.operators.temporal import asof_join
+
+    ts_s = st.integers(min_value=0, max_value=50)  # coarse → forced ties
+    key_s = st.integers(min_value=0, max_value=3)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(key_s, ts_s), min_size=1, max_size=12),
+        rights=st.lists(st.tuples(key_s, ts_s), min_size=0, max_size=12),
+    )
+    def check(lefts, rights):
+        base = pd.Timestamp("2024-01-01")
+        lpdf = pd.DataFrame(
+            {
+                "event_id": range(len(lefts)),
+                "key": [k for k, _ in lefts],
+                "ts": [base + pd.Timedelta(seconds=s) for _, s in lefts],
+            }
+        )
+        rpdf = pd.DataFrame(
+            {
+                "order_id": range(100, 100 + len(rights)),
+                "cust": [k for k, _ in rights],
+                "odate": [base + pd.Timedelta(seconds=s) for _, s in rights],
+            }
+        )
+        got = {
+            r["event_id"]: r["m_order"]
+            for r in asof_join(
+                spark.createDataFrame(lpdf, "event_id long, key long, ts timestamp"),
+                spark.createDataFrame(
+                    rpdf, "order_id long, cust long, odate timestamp"
+                ) if len(rpdf) else spark.createDataFrame([], "order_id long, cust long, odate timestamp"),
+                "key", "cust", "ts", "odate",
+                payload={"order_id": "m_order"},
+                tie_col="order_id",
+            ).collect()
+        }
+        if len(rpdf):
+            merged = pd.merge_asof(
+                lpdf.sort_values("ts", kind="stable"),
+                rpdf.sort_values(["odate", "order_id"], kind="stable"),
+                left_on="ts", right_on="odate",
+                left_by="key", right_by="cust",
+                direction="backward", allow_exact_matches=True,
+            )
+            expect = {
+                int(r.event_id): (None if pd.isna(r.order_id) else int(r.order_id))
+                for r in merged.itertuples()
+            }
+        else:
+            expect = {int(e): None for e in lpdf["event_id"]}
+        assert got == expect
+
+    check()

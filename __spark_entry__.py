@@ -468,6 +468,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_spans(_t(spark, sf, "documents"), k=SPAN_K)
     q["dedup_duplicate_spans"] = dedup_duplicate_spans
 
+    def dedup_span_stats(spark, sf):
+        # the trainer-facing manifest over the spans: per doc, duplicated
+        # chars / fraction and a keep/cut/drop action (drop ≥ 0.8).
+        from facematch_spark.operators.dedup import duplicate_span_stats
+
+        return duplicate_span_stats(_t(spark, sf, "documents"), k=SPAN_K)
+    q["dedup_span_stats"] = dedup_span_stats
+
     # ---- text analysis suite ----
 
     def text_token_count(spark, sf):
@@ -1189,6 +1197,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(pos) + {_sk} AS BIGINT) AS span_end,
                CAST(max(pos) + {_sk} - min(pos) AS BIGINT) AS span_len
         FROM isl GROUP BY doc_id, island
+    """
+
+    _spans_cte = o["dedup_duplicate_spans"]
+    o["dedup_span_stats"] = f"""
+        WITH spans AS ({_spans_cte}),
+        per_doc AS (
+            SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+            FROM spans GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT d.doc_id,
+                   coalesce(p.dup_chars, 0) AS dup_chars,
+                   round(coalesce(p.dup_chars, 0) / greatest(length(d.text), 1), 4) AS dup_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        )
+        SELECT doc_id, dup_chars, dup_frac,
+               CASE WHEN dup_frac >= 0.8 THEN 'drop'
+                    WHEN dup_chars > 0 THEN 'cut'
+                    ELSE 'keep' END AS action
+        FROM stats
     """
 
     o["ann_cosine_topk"] = """

@@ -167,7 +167,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding_cosine",
         "multimodal_meta", "multimodal_frames", "q_sample_stratified",
         "curation_pipeline", "dedup_decontaminate",
-        "dedup_duplicate_spans", "text_repetition",
+        "dedup_duplicate_spans", "dedup_span_stats", "text_repetition",
         "q_asof_join", "q_range_join", "q_distinct_sketch", "q_percentiles",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:

@@ -913,3 +913,40 @@ def duplicate_spans(
         )
     )
     return spans
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 30,
+    drop_above: float = 0.8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The per-doc manifest a trainer consumes on top of ``duplicate_spans``:
+    ``(doc_id, dup_chars, dup_frac, action)`` for EVERY doc, where action is
+
+      * ``drop`` — duplicated fraction ≥ ``drop_above`` (the doc is mostly
+        someone else's content);
+      * ``cut``  — some duplicated spans, below the drop bar (cut the spans,
+        keep the rest — Lee et al.'s remedy);
+      * ``keep`` — no cross-doc duplicated window at all.
+
+    Merged spans never overlap, so ``dup_chars = Σ span_len`` exactly.
+    One extra groupBy + one join past ``duplicate_spans``; docs shorter than
+    k carry dup_frac 0 / keep.
+    """
+    spans = duplicate_spans(docs, k=k, hash_grams=hash_grams)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("dup_chars")
+    )
+    base = docs.select("doc_id", F.greatest(F.length("text"), F.lit(1)).alias("n_chars"))
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
+        F.round(F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 4).alias("dup_frac"),
+    )
+    return out.withColumn(
+        "action",
+        F.when(F.col("dup_frac") >= drop_above, F.lit("drop"))
+        .when(F.col("dup_chars") > 0, F.lit("cut"))
+        .otherwise(F.lit("keep")),
+    )

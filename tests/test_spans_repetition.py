@@ -129,3 +129,22 @@ def test_repetition_scores_tiny_docs_zero_grams(spark):
         assert r["top_3gram_frac"] == 0.0
         assert r["dup_2gram_frac"] == 0.0
         assert r["dup_token_frac"] == 0.0
+
+
+def test_span_stats_actions(spark):
+    from facematch_spark.operators.dedup import duplicate_span_stats
+
+    shared = "0123456789" * 5  # 50 chars
+    rows = [
+        shared,                         # doc 0: 100% duplicated → drop
+        shared + "x" * 60,              # doc 1: 50/110 dup'd → cut
+        "совершенно уникальный текст без повторов вообще!!",  # doc 2: keep
+    ]
+    got = {
+        r["doc_id"]: (r["dup_chars"], r["dup_frac"], r["action"])
+        for r in duplicate_span_stats(_docs(spark, rows), k=10).collect()
+    }
+    assert got[0] == (50, 1.0, "drop")
+    assert got[1] == (50, round(50 / 110, 4), "cut")
+    assert got[2] == (0, 0.0, "keep")
+    assert len(got) == 3  # every doc appears

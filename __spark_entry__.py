@@ -336,6 +336,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def q_profile(spark, sf):
+        # single-pass per-column profiler (nulls / exact distinct / min /
+        # max) — the screen a pipeline runs on a new drop before anything
+        # else; one scan, Expand-planned distinct aggregates.
+        from facematch_spark.operators.profile import profile_table
+
+        return profile_table(_t(spark, sf, "documents"))
+    q["q_profile"] = q_profile
+
     def q_percentiles(spark, sf):
         # exact interpolated percentiles (Spark `percentile` ==
         # DuckDB `quantile_cont` bit-for-bit — probed, not assumed).
@@ -838,6 +847,17 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.event_id, e.ts
     """
     o["streaming_event_counts"] = _hourly
+
+    _prof_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    o["q_profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+           FROM documents"""
+        for c in _prof_cols
+    )
 
     o["q_percentiles"] = """
         SELECT l_returnflag,

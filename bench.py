@@ -168,7 +168,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "multimodal_meta", "multimodal_frames", "q_sample_stratified",
         "curation_pipeline", "dedup_decontaminate",
         "dedup_duplicate_spans", "dedup_span_stats", "text_repetition",
-        "q_asof_join", "q_range_join", "q_distinct_sketch", "q_percentiles",
+        "q_asof_join", "q_range_join", "q_distinct_sketch", "q_percentiles", "q_profile",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

@@ -47,6 +47,9 @@ spark.stop()
 DEFAULT_QUERIES = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_simhash", "dedup_containment", "ann_lsh_topk", "dedup_exact_groups",
+    "dedup_duplicate_spans", "dedup_span_stats", "text_repetition",
+    "q_asof_join", "q_range_join", "q_distinct_sketch", "q_percentiles",
+    "q_profile",
 ]
 
 

@@ -236,6 +236,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_rollup_counts"] = q_rollup_counts
 
+    def q_cube_metrics(spark, sf):
+        # full CUBE over (priority, order-year): all four grouping sets in
+        # one pass (Expand), the other half of the GROUPING SETS family next
+        # to q_rollup_counts. Money sums in integer cents — exact at any
+        # accumulation order, so the value hash is stable by construction.
+        o_ = _t(spark, sf, "orders").withColumn(
+            "yr", F.year("o_orderdate").cast("long")
+        )
+        return (
+            o_.cube("o_orderpriority", "yr")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                ).alias("sum_cents"),
+            )
+            .select(
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+                "n_orders",
+                "sum_cents",
+            )
+        )
+    q["q_cube_metrics"] = q_cube_metrics
+
+    def q_bucketed_join(spark, sf):
+        # bucketed co-located join: both sides written bucketed by the join
+        # key once, then join + same-key groupBy run with ZERO exchanges
+        # (plan-asserted in tests/tools). The entry returns the per-customer
+        # stats; the oracle joins the raw tables directly.
+        from facematch_spark.operators.bucketed import bucketed_customer_order_stats
+
+        return bucketed_customer_order_stats(spark, sf, n_buckets=8)
+    q["q_bucketed_join"] = q_bucketed_join
+
     def q_sessionize(spark, sf):
         # sessionization: lag-gap + running session counter per user (the
         # batch form of session_window; guide "Common OLAP patterns").
@@ -520,6 +555,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_scores(_t(spark, sf, "documents"))
     q["text_repetition"] = text_repetition
 
+    def text_pii_redact(spark, sf):
+        # PII scrubbing (C4/Dolma-style anonymization). The fixture corpus
+        # deliberately contains no PII-shaped strings (verified: zero digit
+        # runs), so the entry PLANTS deterministic PII per doc — 1-2 emails,
+        # one IPv4, a phone on every third doc, via expressions the oracle
+        # reproduces verbatim — then proves the scrubber removes it (counts
+        # + redacted text + fingerprint are all value-hashed).
+        from facematch_spark.operators.text import pii_redact
+
+        docs = _t(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), did, F.lit("@ex-a.io"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit(" cc u"), did, F.lit("b@ex-b.org")),
+                ).otherwise(F.lit("")),
+                F.lit(" ip 10.1."), (F.col("doc_id") % 254).cast("string"), F.lit(".7"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" tel 555-123-4567")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+        return pii_redact(planted)
+    q["text_pii_redact"] = text_pii_redact
+
+    def text_tfidf(spark, sf):
+        # per-doc top-3 salient terms by TF-IDF (tf × ln(N/df), ties term-asc)
+        # — the standard cheap salience/keyword extraction over a corpus.
+        from facematch_spark.operators.text import tfidf_top_terms
+
+        return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+    q["text_tfidf"] = text_tfidf
+
     # ---- similarity search over embeddings ----
 
     def ann_cosine_topk(spark, sf):
@@ -781,6 +853,23 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l_linestatus, 'ALL') AS linestatus,
                count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["q_cube_metrics"] = """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(year(o_orderdate), -1) AS yr,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+    """
+
+    o["q_bucketed_join"] = """
+        SELECT c_custkey, c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
     """
 
     o["q_sessionize"] = """
@@ -1123,6 +1212,64 @@ def oracle_sql() -> dict[str, str]:
                md5(text) AS fp_exact,
                md5(trim(regexp_replace(lower(text), '[{_WSC}]+', ' ', 'g'))) AS fp_normalized
         FROM documents
+    """
+
+    _pii_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _pii_ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _pii_phone = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+    o["text_pii_redact"] = rf"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-a.io'
+                        || CASE WHEN doc_id % 5 = 0
+                                THEN ' cc u' || CAST(doc_id AS VARCHAR) || 'b@ex-b.org'
+                                ELSE '' END
+                        || ' ip 10.1.' || CAST(doc_id % 254 AS VARCHAR) || '.7'
+                        || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-123-4567' ELSE '' END
+                   AS text
+            FROM documents
+        ),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_pii_email}')) AS n_email,
+                   regexp_replace(text, '{_pii_email}', '<EMAIL>', 'g') AS t1
+            FROM planted
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1, '{_pii_ipv4}')) AS n_ipv4,
+                   regexp_replace(t1, '{_pii_ipv4}', '<IP>', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id, n_email, n_ipv4,
+               len(regexp_extract_all(t2, '{_pii_phone}')) AS n_phone,
+               regexp_replace(t2, '{_pii_phone}', '<PHONE>', 'g') AS redacted_text,
+               md5(regexp_replace(t2, '{_pii_phone}', '<PHONE>', 'g')) AS redacted_fp
+        FROM s2
+    """
+
+    o["text_tfidf"] = rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[{_WSC}]+'), x -> x != '') AS tk
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, t AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+            GROUP BY doc_id, t
+        ),
+        scored AS (
+            SELECT doc_id, term, tf,
+                   count(*) OVER (PARTITION BY term) AS df,
+                   round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                                 / count(*) OVER (PARTITION BY term)), 4) AS score
+            FROM tf
+        )
+        SELECT doc_id, rank, term, tf, df, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+              FROM scored)
+        WHERE rank <= 3
     """
 
     o["text_repetition"] = rf"""

@@ -81,6 +81,94 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns (C4/Dolma-style anonymization, public canon). Each pattern is
+# written in the common subset of Java regex (Spark) and RE2 (DuckDB) —
+# ASCII \d, \b word boundaries, greedy quantifiers — so the SQL oracle runs
+# the IDENTICAL pattern and both engines produce the same matches.
+# Order matters and is fixed: emails first (their local parts may contain
+# digit runs a later numeric pattern would otherwise bite into), then IPv4,
+# then phone numbers.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the anonymization pass training pipelines run before
+    near-dup/quality stages (C4 / Dolma-style, public canon): replace
+    emails, IPv4 addresses and phone-shaped numbers with typed placeholder
+    tokens and count what was removed.
+
+    Map-only Column expressions (three regexp_extract_all counts + three
+    chained regexp_replace passes over the same scan) — zero shuffle, zero
+    Python, partition-independent; at 100 TB this is a pure scan-side
+    transform that fuses into whole-stage codegen with whatever runs next.
+    Counts are taken BEFORE redaction (on the raw text) per pattern, in the
+    fixed order above, each count on the text as left by the previous
+    pattern's redaction so overlapping matches are attributed once.
+    """
+    cur = F.col(text_col)
+    out_cols = [F.col("doc_id")]
+    for name, pat, token in PII_PATTERNS:
+        out_cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    out_cols.append(cur.alias("redacted_text"))
+    out_cols.append(F.md5(cur).alias("redacted_fp"))
+    return docs.select(*out_cols)
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` salient terms by TF-IDF (raw term frequency ×
+    ln(N/df); ties break score-desc then term-asc, so the output is a total
+    order and value-hashable).
+
+    Shape: one explode → one map-side-combined groupBy(doc_id, term) for tf
+    (the only relation that sees per-position rows; everything after is
+    bounded by Σ per-doc distinct terms) → document frequency as a window
+    count over the tf relation (no second aggregate-join round trip, the
+    session-5 prefix-stage lesson) → top-k row_number per doc. Three
+    exchanges total, each over the (doc_id, term) relation, never the raw
+    text. N is the full corpus document count, broadcast as a scalar.
+
+    Scale: the tf relation is the big one but combines map-side; the df
+    window partitions by term — a pathologically hot term (a stopword) is
+    one skewed partition, which AQE skew-split handles since the window is
+    count-only (order-free frame). At 100 TB the recorded alternative is a
+    two-level partial-df aggregation; see SCALE.md.
+    """
+    from pyspark.sql import Window as W
+
+    n_docs = docs.count()  # scalar; one job over the parquet footer stats
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_w = W.partitionBy("term")
+    scored = tf.withColumn("df", F.count("*").over(df_w)).withColumn(
+        "score", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    )
+    rank_w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )
+
+
 def repetition_scores(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition screens (Rae et al. 2021, appendix A1.1 —
     public) over word n-grams. The fixture corpus is single-line text, so

@@ -191,6 +191,29 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
     )
 
+    # 16. PII redaction: pure map-only scan-side transform — no exchange,
+    # no join, one codegen span
+    from facematch_spark.operators.text import pii_redact
+
+    summarize("pii redact", pii_redact(docs), forbid=[r"Exchange", r"Join"])
+
+    # 17. bucketed co-located join: with broadcast off, join + same-key
+    # groupBy must run with ZERO exchanges of any kind — the shuffles were
+    # paid once, inside the bucketed write
+    from facematch_spark.operators.bucketed import bucketed_customer_order_stats
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        summarize(
+            "bucketed join",
+            bucketed_customer_order_stats(spark, sf, n_buckets=8),
+            expect=[r"SortMergeJoin"],
+            forbid=[r"Exchange"],
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
     spark.stop()
 
 

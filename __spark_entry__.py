@@ -357,6 +357,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return range_join_count(ev, ev, "ts", "ts", 300, out_col="n_prev_5min")
     q["q_range_join"] = q_range_join
 
+    def q_merge_upsert(spark, sf):
+        # CDC MERGE INTO semantics over immutable parquet (update matched /
+        # delete tombstoned / insert new, latest-change-wins) — ONE map-side-
+        # combinable shuffle, no window sort (operators/merge.py). The change
+        # batch is derived deterministically from orders so the DuckDB twin
+        # can rebuild it verbatim; money as integer cents so values are exact.
+        from facematch_spark.operators.merge import merge_upsert
+
+        base = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderpriority",
+        )
+        k = F.col("o_orderkey")
+        updates = base.filter(k % 10 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("cents") + 100).alias("cents"),
+            "o_orderpriority",
+            F.lit("U").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+        deletes = base.filter((k % 10 != 0) & (k % 17 == 3)).select(
+            "*", F.lit("D").alias("op"), F.lit(1).cast("long").alias("seq")
+        )
+        inserts = base.filter(k % 100 == 7).select(
+            (k + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "cents",
+            "o_orderpriority",
+            F.lit("U").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+        changes = updates.unionByName(deletes).unionByName(inserts)
+        return merge_upsert(base, changes, "o_orderkey")
+    q["q_merge_upsert"] = q_merge_upsert
+
+    def q_interval_join(spark, sf):
+        # interval×interval overlap join, no equi key: per user session
+        # (30-min-gap sessionization → [min ts, max ts] span), count OTHER
+        # users' sessions overlapping it. Lossless bin decomposition for any
+        # bin width (operators/temporal.py interval_overlap_pairs); sessions
+        # feed both join sides, so the relation is checkpointed once.
+        from pyspark.sql import Window as W
+
+        from facematch_spark.operators.temporal import interval_overlap_pairs
+
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = us - F.lag(us).over(w)
+        sess = (
+            ev.withColumn(
+                "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+            )
+            .withColumn(
+                "session_id",
+                F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+            .localCheckpoint()
+        )
+        pairs = interval_overlap_pairs(
+            sess, sess, ["user_id", "session_id"], ["user_id", "session_id"],
+            l_start="s_start", l_end="s_end", r_start="s_start", r_end="s_end",
+            bin_s=3600,
+        ).filter(F.col("l_user_id") != F.col("r_user_id"))
+        counts = pairs.groupBy("l_user_id", "l_session_id").agg(
+            F.count("*").cast("long").alias("n_overlap")
+        )
+        return (
+            sess.join(
+                counts,
+                (sess.user_id == counts.l_user_id) & (sess.session_id == counts.l_session_id),
+                "left",
+            )
+            .select(
+                "user_id",
+                "session_id",
+                F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            )
+        )
+    q["q_interval_join"] = q_interval_join
+
+    def text_chunk(spark, sf):
+        # fixed-size overlapping character chunking (LLM pre-tokenization) —
+        # map-only explode(sequence)+substring, zero shuffle, zero Python.
+        from facematch_spark.operators.text import chunk_documents
+
+        return chunk_documents(_t(spark, sf, "documents"), size=256, stride=200)
+    q["text_chunk"] = text_chunk
+
+    def q_shard_plan(spark, sf):
+        # output-shard planning via the two-pass DISTRIBUTED prefix sum
+        # (operators/shard.py) — no single-reducer global window anywhere;
+        # only the (key, bytes) projection enters the operator, so the
+        # pinned pid relation never carries document payloads.
+        from facematch_spark.operators.shard import shard_plan
+
+        docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        return shard_plan(docs, "doc_id", "n_chars", target_bytes=4096)
+    q["q_shard_plan"] = q_shard_plan
+
     def streaming_event_counts(spark, sf):
         # the SAME aggregation executed by the Structured Streaming engine
         # (availableNow trigger → memory sink), proving the streaming path.
@@ -935,6 +1043,88 @@ def oracle_sql() -> dict[str, str]:
           ON f.ts >= e.ts - INTERVAL 300 SECOND AND f.ts < e.ts
         GROUP BY e.event_id, e.ts
     """
+    o["q_merge_upsert"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderpriority
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+                   cents + 100 AS cents, o_orderpriority, 'U' AS op
+            FROM base WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, cents, o_orderpriority, 'D'
+            FROM base WHERE o_orderkey % 10 <> 0 AND o_orderkey % 17 = 3
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, 'N', cents, o_orderpriority, 'U'
+            FROM base WHERE o_orderkey % 100 = 7
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, cents, o_orderpriority
+        FROM changes WHERE op = 'U'
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    """
+
+    o["q_interval_join"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+            FROM (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            GROUP BY user_id, session_id
+        )
+        SELECT s.user_id, s.session_id,
+               CAST(count(t.user_id) AS BIGINT) AS n_overlap
+        FROM sess s LEFT JOIN sess t
+          ON t.user_id <> s.user_id
+         AND s.s_start <= t.s_end AND t.s_start <= s.s_end
+        GROUP BY s.user_id, s.session_id
+    """
+
+    o["text_chunk"] = """
+        SELECT doc_id,
+               pos // 200 AS chunk_id,
+               pos AS chunk_start,
+               substring(text, CAST(pos + 1 AS INT), 256) AS chunk_text,
+               CAST(len(generate_series(0, greatest(length(text) - 1, 0), 200)) AS BIGINT)
+                   AS n_chunks
+        FROM (
+            SELECT doc_id, text,
+                   CAST(unnest(generate_series(0, greatest(length(text) - 1, 0), 200)) AS BIGINT)
+                       AS pos
+            FROM documents
+        )
+    """
+
+    o["q_shard_plan"] = """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   CAST(sum(n_chars) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_bytes
+            FROM documents
+        )
+        SELECT doc_id, n_chars, cum_bytes,
+               (cum_bytes - n_chars) // 4096 AS shard_id
+        FROM c
+    """
+
     o["streaming_event_counts"] = _hourly
 
     _prof_cols = ["doc_id", "text", "lang", "source", "n_chars"]

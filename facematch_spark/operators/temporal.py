@@ -124,7 +124,7 @@ def range_join_count(
     GROUP BY treats nulls as equal, so nullable point columns are safe —
     a counts-then-rejoin shape would silently lose rows with null keys.
     """
-    bin_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(window_s))
+    bin_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(window_s))  # noqa: E731
     o = others.select(F.col(other_ts).alias("_ots"), bin_of(other_ts).alias("_obin"))
     probes = points.select(
         *points.columns,
@@ -142,4 +142,63 @@ def range_join_count(
         F.sum(F.when(F.col("_ots").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias(out_col)
+    )
+
+def interval_overlap_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    l_keys: list[str],
+    r_keys: list[str],
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    bin_s: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join (both sides are [start, end] closed
+    intervals, no equi key): emit one row per (left, right) pair whose
+    intervals share at least one instant.
+
+    Binned decomposition, lossless for ANY bin width: each interval explodes
+    to every whole-``bin_s`` bin it touches (``sequence(floor(s/w),
+    floor(e/w))``); if two intervals overlap at instant p, BOTH cover
+    ``bin(p)``, so the bin equi-join always surfaces the pair — no maximum-
+    length precondition (unlike the 2-probe point form above, which needs
+    window ≥ bin). A pair sharing several bins duplicates, so candidates are
+    ``dropDuplicates`` on the key tuple before the exact residual check
+    ``l_start <= r_end AND r_start <= l_end`` (microsecond timestamps,
+    closed-closed — touching endpoints count).
+
+    Cost model: candidate rows = Σ_bins |L_bin|·|R_bin|; explode fan-out per
+    interval = len/bin_s + 1. Pick ``bin_s`` near the median interval length
+    — too small explodes long intervals into many bins, too large piles
+    unrelated intervals into one bin (then AQE skew-split handles the hot
+    bins like any equi-join skew). Both failure modes degrade cost, never
+    correctness.
+
+    Key columns are prefixed ``l_`` / ``r_`` in the output (plus the four
+    boundary columns), so self-joins need no pre-aliasing.
+    """
+    bins_of = lambda s, e: F.sequence(  # noqa: E731
+        F.floor(F.unix_timestamp(F.col(s)) / F.lit(bin_s)).cast("long"),
+        F.floor(F.unix_timestamp(F.col(e)) / F.lit(bin_s)).cast("long"),
+    )
+    l = left.select(
+        *[F.col(k).alias(f"l_{k}") for k in l_keys],
+        F.col(l_start).alias("l_start"),
+        F.col(l_end).alias("l_end"),
+        F.explode(bins_of(l_start, l_end)).alias("_bin"),
+    )
+    r = right.select(
+        *[F.col(k).alias(f"r_{k}") for k in r_keys],
+        F.col(r_start).alias("r_start"),
+        F.col(r_end).alias("r_end"),
+        F.explode(bins_of(r_start, r_end)).alias("_bin"),
+    )
+    key_cols = [f"l_{k}" for k in l_keys] + [f"r_{k}" for k in r_keys]
+    return (
+        l.join(r, "_bin")
+        .dropDuplicates(key_cols)
+        .filter((F.col("l_start") <= F.col("r_end")) & (F.col("r_start") <= F.col("l_end")))
+        .drop("_bin")
     )

@@ -252,3 +252,48 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
             F.coalesce("dup_tok", z) / F.greatest(F.coalesce("n_tok", z), F.lit(1)), 4
         ).alias("dup_token_frac"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 256,
+    stride: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks — the
+    map-only pre-tokenization step every LLM training pipeline runs (context
+    packing / long-doc splitting; overlap = ``size - stride`` chars so no
+    boundary n-gram is lost between neighbors).
+
+    Pure ``explode(sequence(...)) + substring`` — whole-stage-codegen
+    column expressions, zero Python, no shuffle (plan-asserted in pytest:
+    no Exchange). Chunk offsets are ``0, stride, 2·stride, …`` up to the
+    last offset < length; an empty document still yields one empty chunk
+    (offset 0), so every input row is represented downstream. The final
+    chunk is short, never padded — padding is the tokenizer's business.
+
+    Output: (id_col, chunk_id, chunk_start, chunk_text, n_chunks) with
+    chunk_id = offset / stride; n_chunks via a size() on the generated
+    offset array, NOT a per-doc window (which would shuffle).
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(offsets).cast("long").alias("n_chunks"),
+            F.explode(offsets).alias("chunk_start"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.floor(F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.substring(F.col(text_col), F.col("chunk_start") + 1, F.lit(size)).alias("chunk_text"),
+            F.col("n_chunks"),
+        )
+    )

@@ -214,6 +214,46 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
+    # 18. CDC merge: the map-side-combinable hash-aggregate form — no
+    # window sort, no join node (the anti-join shape would scan base twice)
+    from facematch_spark.operators.merge import merge_upsert
+
+    base = orders.select("o_orderkey", "o_orderstatus")
+    ch = base.limit(10).select(
+        "*", F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq")
+    )
+    summarize(
+        "merge upsert",
+        merge_upsert(base, ch, "o_orderkey", check_unique=False),
+        expect=[r"max_by"],
+        forbid=[r"Window", r"SortMergeJoin", r"CartesianProduct"],
+    )
+
+    # 19. chunking: map-only, zero exchange, zero Python
+    from facematch_spark.operators.text import chunk_documents
+
+    summarize(
+        "text chunk",
+        chunk_documents(docs),
+        forbid=[r"Exchange", r"Join", r"BatchEvalPython", r"ArrowEvalPython"],
+    )
+
+    # 20. interval overlap join: bin equi-join only — a naive overlap
+    # predicate with no equi key would plan a nested-loop cartesian
+    from facematch_spark.operators.temporal import interval_overlap_pairs
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    iv = events.select(
+        F.col("event_id").alias("iid"), F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECOND")).alias("end"),
+    )
+    summarize(
+        "interval overlap join",
+        interval_overlap_pairs(iv, iv, ["iid"], ["iid"], l_start="start",
+                               l_end="end", r_start="start", r_end="end"),
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
+    )
+
     spark.stop()
 
 

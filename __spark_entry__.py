@@ -479,6 +479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def streaming_join_attrib(spark, sf):
+        # stream-stream time-bounded inner join under the actual streaming
+        # engine (both sides watermarked; state bounded by the horizon) —
+        # error events attributed to same-user clicks in the preceding day.
+        from facematch_spark.streaming.incremental import streaming_click_error_join
+
+        return streaming_click_error_join(spark, f"{sf}/events.parquet")
+    q["streaming_join_attrib"] = streaming_join_attrib
+
     def q_profile(spark, sf):
         # single-pass per-column profiler (nulls / exact distinct / min /
         # max) — the screen a pipeline runs on a new drop before anything
@@ -1043,6 +1052,14 @@ def oracle_sql() -> dict[str, str]:
           ON f.ts >= e.ts - INTERVAL 300 SECOND AND f.ts < e.ts
         GROUP BY e.event_id, e.ts
     """
+    o["streaming_join_attrib"] = """
+        SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND c.ts >= e.ts - INTERVAL 86400 SECOND AND c.ts < e.ts
+    """
+
     o["q_merge_upsert"] = """
         WITH base AS (
             SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -157,3 +157,83 @@ def streaming_exact_dedup(spark: SparkSession, parquet_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_click_error_join(
+    spark: SparkSession,
+    parquet_path: str,
+    window_s: int = 86400,
+    watermark: str = "3650 days",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream time-bounded inner join under the real engine: attribute
+    each 'error' event to the same user's preceding 'click' events within
+    ``window_s`` — the funnel/attribution join, the canonical stream-stream
+    shape (both sides watermarked, time-range condition bounding state).
+
+    The inner-join row SET is deterministic (every pair satisfying the
+    predicate, regardless of micro-batch arrival order) **provided no row is
+    dropped as late**, so the entry runs a watermark far wider than the
+    corpus span — state is then never pruned and the result provably equals
+    the batch join (the DuckDB oracle). Production tunes ``watermark`` to
+    the stream's real disorder bound + ``window_s``; the engine prunes both
+    sides' state past ``max(event time) - watermark - window``, which is
+    exactly what makes this join runnable forever at 100 TB/day — state is
+    O(events in the horizon), not O(stream). The completeness/state
+    trade-off is the watermark parameter, not the operator.
+
+    Join-state note: each side's state store holds its watermark horizon,
+    keyed by the equi keys (user_id) — a hot user is state-store skew, same
+    mitigation as any keyed state (wider horizon sharding via salting the
+    user into k sub-keys and probing all k, at k× probe cost).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        staged = tempfile.mkdtemp(prefix="fm_stream_join_")
+        shutil.copy(parquet_path, staged)
+        parquet_path = staged
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {window_s} SECOND"))
+        & (F.col("c_ts") < F.col("e_ts")),
+        "inner",
+    ).select("error_id", "click_id", F.col("e_user").alias("user_id"))
+    name = f"stream_join_{abs(hash(parquet_path)) % 10_000_000}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -111,3 +111,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path_factory):
     q.awaitTermination()
     got = {r["user_id"] for r in spark.table("wm_dedup_out").collect()}
     assert got == {int(u) for u in ev["user_id"].unique()}
+
+
+def test_streaming_join_matches_batch_across_batches(spark, tmp_path_factory):
+    """Stream-stream time-bounded inner join: matches split ACROSS stream
+    files (hence across micro-batches at maxFilesPerTrigger=1) must still
+    pair up from join state, and the emitted row set must equal the batch
+    join exactly."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from facematch_spark.streaming.incremental import streaming_click_error_join
+
+    d = tmp_path_factory.mktemp("stream_join")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(name, rows):
+        df = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.Series(
+                    [t0 + dt.timedelta(seconds=r[1]) for r in rows],
+                    dtype="datetime64[us]",  # Spark can't read NANOS parquet
+                ),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+            }
+        )
+        df.to_parquet(str(d / name))
+
+    # file a: clicks only; file b: the errors that must join back to them —
+    # per-batch joining would find NOTHING (requires cross-batch state).
+    mk("a.parquet", [(1, 0, 7, "click"), (2, 100, 7, "click"), (3, 50, 8, "click")])
+    mk(
+        "b.parquet",
+        [
+            (10, 200, 7, "error"),   # joins clicks 1 and 2
+            (11, 30, 8, "error"),    # click 3 is AFTER it: no match
+            (12, 500, 9, "error"),   # no clicks for user 9
+            (13, 400, 8, "click"),   # same-batch click for...
+            (14, 450, 8, "error"),   # ...this error (and click 3 long before)
+        ],
+    )
+
+    out = streaming_click_error_join(
+        spark, str(d), window_s=1000, max_files_per_trigger=1
+    )
+    got = {(r["error_id"], r["click_id"]) for r in out.collect()}
+    assert got == {(10, 1), (10, 2), (14, 3), (14, 13)}

@@ -479,6 +479,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def q_temperature_sample(spark, sf):
+        # temperature-balanced multilingual resampling (XLM-R/mT5 mix):
+        # rarest language keeps 100%, others keep (n_min/n_l)^(1-alpha);
+        # alpha=0.5 so the rate is one correctly-rounded sqrt — bit-identical
+        # in any IEEE engine, hence value-hash-oracle-able.
+        from facematch_spark.operators.sampling import temperature_sample
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        return temperature_sample(docs, alpha=0.5).select(
+            "doc_id", "lang", "sample_key"
+        )
+    q["q_temperature_sample"] = q_temperature_sample
+
     def streaming_join_attrib(spark, sf):
         # stream-stream time-bounded inner join under the actual streaming
         # engine (both sides watermarked; state bounded by the horizon) —
@@ -1052,6 +1065,22 @@ def oracle_sql() -> dict[str, str]:
           ON f.ts >= e.ts - INTERVAL 300 SECOND AND f.ts < e.ts
         GROUP BY e.event_id, e.ts
     """
+    o["q_temperature_sample"] = """
+        WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        nmin AS (SELECT min(n) AS n_min FROM counts),
+        rates AS (
+            SELECT lang,
+                   lpad(lower(hex(least(
+                       CAST(floor(sqrt(n_min / n) * 4294967296.0) AS BIGINT),
+                       4294967295))), 8, '0') AS threshold
+            FROM counts, nmin
+        )
+        SELECT d.doc_id, d.lang,
+               substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sample_key
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < r.threshold
+    """
+
     o["streaming_join_attrib"] = """
         SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
         FROM events e JOIN events c

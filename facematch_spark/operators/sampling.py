@@ -76,3 +76,80 @@ def stratified_sample(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
     )
     return df.withColumn("sample_key", key).filter(F.col("sample_key") < threshold)
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "temp:",
+) -> DataFrame:
+    """Temperature-balanced subsampling (the XLM-R / mT5 multilingual mix):
+    resample so kept counts follow ``p_l^alpha`` (renormalized), flattening
+    the language distribution toward uniform as alpha → 0, by DOWNSAMPLING
+    only — the rarest stratum keeps 100% and every larger stratum keeps
+    ``rate_l = (n_min / n_l)^(1 - alpha)``; no row is ever repeated.
+
+    Derivation: kept_l = c·p_l^alpha with the largest feasible c (all
+    rates ≤ 1) gives c = N·p_min^(1-alpha), hence the closed form above —
+    N cancels, so the rate depends only on the integer count ratio.
+
+    Membership reuses the stratified-sample predicate (md5-prefix versus a
+    per-stratum threshold), inheriting all its properties: map-only row
+    verdicts, partition-independence, superset consistency WITHIN a stratum
+    whose rate is unchanged, nesting across alphas (smaller alpha ⊂ larger
+    at one salt, per stratum), independent splits across salts. Unlike
+    ``stratified_sample`` the rates are DERIVED from the data (one tiny
+    groupBy — |strata| rows — broadcast back), so corpus growth that changes
+    counts changes rates; pin rates explicitly via ``stratified_sample``
+    when incremental stability matters more than balance.
+
+    Exact cross-engine reproducibility: for alpha ∈ {0.5, 0.75} the
+    exponent (1 - alpha) ∈ {0.5, 0.25} is evaluated as one or two IEEE-754
+    ``sqrt`` calls — sqrt is correctly rounded by the standard (unlike
+    ``pow``), so Spark and any ANSI engine compute bit-identical rates and
+    thresholds from the same counts. Other alphas fall back to ``pow`` and
+    may flip a row whose hash sits within an ULP of the threshold
+    (~2^-20 per stratum): fine for production, not for a value-hash oracle.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    ratio = F.col("_n_min") / F.col("_n")  # exact-int division, one rounding
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    elif alpha == 0.75:
+        rate = F.sqrt(F.sqrt(ratio))
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn("_rate", rate)
+        .withColumn(
+            "_threshold",
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.floor(F.col("_rate") * F.lit(float(2**32))).cast("long"),
+                            F.lit(2**32 - 1),
+                        )
+                    )
+                ),
+                8,
+                "0",
+            ),
+        )
+        .select(strata_col, "_rate", "_threshold")
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("sample_key", key)
+        .filter(F.col("sample_key") < F.col("_threshold"))
+        .drop("_rate", "_threshold")
+    )

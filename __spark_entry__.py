@@ -479,6 +479,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def text_pack_plan(spark, sf):
+        # sequence packing for training: chunks (in global doc/chunk order)
+        # greedily packed into fixed-token-budget sequences — chunking +
+        # whitespace token estimate + the distributed prefix sum; no
+        # single-reducer window anywhere.
+        from facematch_spark.operators.shard import shard_plan
+        from facematch_spark.operators.text import chunk_documents, tokens_col
+
+        chunks = chunk_documents(_t(spark, sf, "documents"), size=256, stride=200)
+        with_tok = chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.size(tokens_col("chunk_text")).cast("long").alias("n_tokens"),
+        )
+        packed = shard_plan(with_tok, ["doc_id", "chunk_id"], "n_tokens", target_bytes=512)
+        return packed.select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.col("cum_bytes").alias("cum_tokens"),
+            F.col("shard_id").alias("seq_id"),
+        )
+    q["text_pack_plan"] = text_pack_plan
+
     def q_temperature_sample(spark, sf):
         # temperature-balanced multilingual resampling (XLM-R/mT5 mix):
         # rarest language keeps 100%, others keep (n_min/n_l)^(1-alpha);
@@ -1065,6 +1089,33 @@ def oracle_sql() -> dict[str, str]:
           ON f.ts >= e.ts - INTERVAL 300 SECOND AND f.ts < e.ts
         GROUP BY e.event_id, e.ts
     """
+    o["text_pack_plan"] = rf"""
+        WITH chunks AS (
+            SELECT doc_id, pos // 200 AS chunk_id,
+                   len(list_filter(
+                       regexp_split_to_array(
+                           substring(text, CAST(pos + 1 AS INT), 256), '[{_WSC}]+'),
+                       x -> x != '')) AS n_tokens
+            FROM (
+                SELECT doc_id, text,
+                       CAST(unnest(generate_series(0, greatest(length(text) - 1, 0), 200))
+                           AS BIGINT) AS pos
+                FROM documents
+            )
+        ),
+        c AS (
+            SELECT doc_id, chunk_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM chunks
+        )
+        SELECT doc_id, chunk_id, n_tokens, cum_tokens,
+               (cum_tokens - n_tokens) // 512 AS seq_id
+        FROM c
+    """
+
     o["q_temperature_sample"] = """
         WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         nmin AS (SELECT min(n) AS n_min FROM counts),

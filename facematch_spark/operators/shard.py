@@ -39,20 +39,21 @@ from pyspark.sql import Window as W
 
 def shard_plan(
     rows: DataFrame,
-    key: str,
+    key: str | list[str],
     bytes_col: str,
     target_bytes: int,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Return (all input columns) + cum_bytes (inclusive) + shard_id.
 
-    ``key`` must be globally unique (it defines the total order); byte
-    counts must be non-negative.
+    ``key`` (one column or a composite) must be globally unique as a tuple
+    — it defines the total order; byte counts must be non-negative.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     parted = (
-        rows.repartitionByRange(num_partitions, key)
+        rows.repartitionByRange(num_partitions, *keys)
         if num_partitions
-        else rows.repartitionByRange(key)
+        else rows.repartitionByRange(*keys)
     )
     # Pin the pid assignment: both passes consume it, and a re-evaluated
     # range sample could re-draw partition boundaries between consumers
@@ -68,7 +69,7 @@ def shard_plan(
 
     # pass 2: local cumsum + broadcast offset. The window's partitionBy(_pid)
     # re-shuffles by pid hash — same width as the data, no global sort.
-    w_local = W.partitionBy("_pid").orderBy(key).rowsBetween(W.unboundedPreceding, 0)
+    w_local = W.partitionBy("_pid").orderBy(*keys).rowsBetween(W.unboundedPreceding, 0)
     out = (
         with_pid.join(F.broadcast(offsets), "_pid")
         .withColumn(

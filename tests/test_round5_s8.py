@@ -243,3 +243,25 @@ def test_shard_plan_shards_contiguous_and_sized(spark):
         totals[r["shard_id"]] = totals.get(r["shard_id"], 0) + r["nbytes"]
     for sid in range(max(ids)):
         assert totals[sid] >= 100 - 7 + 1  # >= target - (rowsize - 1)
+
+
+def test_shard_plan_composite_key(spark):
+    from pyspark.sql import Window as W
+
+    from facematch_spark.operators.shard import shard_plan
+
+    rows = spark.createDataFrame(
+        [Row(a=i // 7, b=i % 7, nbytes=(i * 13) % 50 + 1) for i in range(150)]
+    )
+    naive = rows.withColumn(
+        "cum_bytes",
+        F.sum("nbytes").over(
+            W.orderBy("a", "b").rowsBetween(W.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    expect = {(r["a"], r["b"]): r["cum_bytes"] for r in naive.collect()}
+    got = {
+        (r["a"], r["b"]): r["cum_bytes"]
+        for r in shard_plan(rows, ["a", "b"], "nbytes", 100, num_partitions=5).collect()
+    }
+    assert got == expect

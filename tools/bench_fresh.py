@@ -49,7 +49,9 @@ DEFAULT_QUERIES = [
     "dedup_simhash", "dedup_containment", "ann_lsh_topk", "dedup_exact_groups",
     "dedup_duplicate_spans", "dedup_span_stats", "text_repetition",
     "q_asof_join", "q_range_join", "q_distinct_sketch", "q_percentiles",
-    "q_profile",
+    "q_profile", "text_pii_redact", "text_tfidf", "q_bucketed_join",
+    "q_merge_upsert", "q_interval_join", "text_chunk", "q_shard_plan",
+    "q_temperature_sample", "text_pack_plan",
 ]
 
 

@@ -265,3 +265,78 @@ def test_shard_plan_composite_key(spark):
         for r in shard_plan(rows, ["a", "b"], "nbytes", 100, num_partitions=5).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------- property tests (hypothesis)
+
+
+def test_merge_upsert_matches_dict_replay_property(spark):
+    """Property: merge_upsert equals a driver-side dict replay of the change
+    log in (rank, seq) order — an oracle independent of Spark and SQL."""
+    from hypothesis import given, settings, strategies as st
+
+    from facematch_spark.operators.merge import merge_upsert
+
+    key_s = st.integers(min_value=0, max_value=6)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        base_keys=st.sets(key_s, min_size=0, max_size=5),
+        changes=st.lists(
+            st.tuples(key_s, st.sampled_from(["U", "D"])), min_size=0, max_size=10
+        ),
+    )
+    def check(base_keys, changes):
+        # seq = position in the log (unique per key automatically? no —
+        # unique per (key, position) since positions are distinct)
+        base = [(k, f"base{k}") for k in sorted(base_keys)]
+        log = [(k, f"chg{i}", op, i) for i, (k, op) in enumerate(changes)]
+        expect = {k: v for k, v in base}
+        for k, v, op, _ in log:  # replay in seq order
+            if op == "D":
+                expect.pop(k, None)
+            else:
+                expect[k] = v
+        bdf = spark.createDataFrame(base, "k long, val string") if base else (
+            spark.createDataFrame([], "k long, val string"))
+        cdf = spark.createDataFrame(log, "k long, val string, op string, seq long") if log else (
+            spark.createDataFrame([], "k long, val string, op string, seq long"))
+        got = {r["k"]: r["val"] for r in merge_upsert(bdf, cdf, "k").collect()}
+        assert got == expect
+
+    check()
+
+
+def test_interval_overlap_matches_bruteforce_property(spark):
+    """Property: interval_overlap_pairs equals the O(N^2) overlap predicate
+    on random interval sets, for any bin width."""
+    from hypothesis import given, settings, strategies as st
+
+    from facematch_spark.operators.temporal import interval_overlap_pairs
+
+    sec = st.integers(min_value=0, max_value=500)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        spans=st.lists(st.tuples(sec, sec), min_size=1, max_size=10),
+        bin_s=st.sampled_from([7, 100, 1000]),
+    )
+    def check(spans, bin_s):
+        rows = [(i, min(a, b), max(a, b)) for i, (a, b) in enumerate(spans)]
+        df = _intervals(spark, rows)
+        got = {
+            (r["l_iid"], r["r_iid"])
+            for r in interval_overlap_pairs(
+                df, df, ["iid"], ["iid"], l_start="start", l_end="end",
+                r_start="start", r_end="end", bin_s=bin_s,
+            ).collect()
+        }
+        expect = {
+            (i, j)
+            for i, s1, e1 in rows
+            for j, s2, e2 in rows
+            if s1 <= e2 and s2 <= e1
+        }
+        assert got == expect
+
+    check()

@@ -479,6 +479,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["streaming_event_counts"] = streaming_event_counts
 
+    def dedup_within_doc_spans(spark, sf):
+        # within-document repeated-substring spans (closes duplicate_spans'
+        # documented cross-doc-only delta vs Lee et al.'s suffix-array form);
+        # clean docs never position-explode (distinct-vs-position prefilter).
+        from facematch_spark.operators.dedup import within_doc_repeated_spans
+
+        return within_doc_repeated_spans(_t(spark, sf, "documents"), k=20)
+    q["dedup_within_doc_spans"] = dedup_within_doc_spans
+
     def text_pack_plan(spark, sf):
         # sequence packing for training: chunks (in global doc/chunk order)
         # greedily packed into fixed-token-budget sequences — chunking +
@@ -1089,6 +1098,39 @@ def oracle_sql() -> dict[str, str]:
           ON f.ts >= e.ts - INTERVAL 300 SECOND AND f.ts < e.ts
         GROUP BY e.event_id, e.ts
     """
+    o["dedup_within_doc_spans"] = """
+        WITH pos AS (
+            SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 20) AS g
+            FROM (
+                SELECT doc_id, text, unnest(range(1, length(text) - 18)) AS i
+                FROM documents WHERE length(text) >= 20
+            )
+        ),
+        dpos AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY doc_id, g) AS n
+                FROM pos
+            ) WHERE n >= 2
+        ),
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                        THEN 1 ELSE 0 END AS b
+            FROM dpos
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 20 AS BIGINT) AS span_end,
+               CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, island
+    """
+
     o["text_pack_plan"] = rf"""
         WITH chunks AS (
             SELECT doc_id, pos // 200 AS chunk_id,

@@ -171,7 +171,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q_asof_join", "q_range_join", "q_distinct_sketch", "q_percentiles", "q_profile",
         "text_pii_redact", "text_tfidf", "q_cube_metrics", "q_bucketed_join",
         "q_merge_upsert", "q_interval_join", "text_chunk", "q_shard_plan",
-        "q_temperature_sample", "text_pack_plan",
+        "q_temperature_sample", "text_pack_plan", "dedup_within_doc_spans",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

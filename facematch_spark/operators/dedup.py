@@ -950,3 +950,71 @@ def duplicate_span_stats(
         .when(F.col("dup_chars") > 0, F.lit("cut"))
         .otherwise(F.lit("keep")),
     )
+
+
+def within_doc_repeated_spans(docs: DataFrame, k: int = 20) -> DataFrame:
+    """WITHIN-document repeated-substring spans — closes the documented
+    delta of ``duplicate_spans`` (which is cross-document by design) against
+    Lee et al. 2022's suffix-array form, which also surfaces repeats inside
+    one document: per doc, maximal char intervals covered by k-char windows
+    whose k-gram occurs ≥ 2 times in the SAME document (copy-pasted blocks,
+    templated boilerplate within a file). Same output shape as
+    ``duplicate_spans``: ``(doc_id, span_start, span_end, span_len)``,
+    1-based, end-exclusive.
+
+    Dataflow (all built-ins):
+
+      1. prefilter: a doc has a within-doc repeat iff its position count
+         (``length − k + 1``) exceeds its DISTINCT gram count — one tiny
+         per-doc agg over the existing ``char_shingles`` (distinct) relation,
+         so clean docs never position-explode (the analog of the cross-doc
+         form's dirty-sliver prefilter);
+      2. position-explode only the flagged docs; keep positions whose gram
+         repeats in-doc via a window count over (doc_id, gram) — no
+         aggregate-join round trip;
+      3. the same gaps-and-islands merge as ``duplicate_spans``.
+
+    Skew: a degenerate doc (one char repeated N times) concentrates all its
+    positions in ONE (doc_id, gram) window partition — linear count, single
+    task per doc, the same per-doc bound as any per-doc window. Cross-doc
+    hot grams don't exist here by construction (the window key includes
+    doc_id).
+    """
+    from pyspark.sql import Window as W
+
+    eligible = docs.filter(F.length("text") >= k).select("doc_id", "text")
+    n_distinct = char_shingles(docs, k).groupBy("doc_id").agg(
+        F.count("*").alias("_nd")
+    )
+    rep_docs = (
+        eligible.join(n_distinct, "doc_id")
+        .filter(F.length("text") - F.lit(k - 1) > F.col("_nd"))
+        .select("doc_id", "text")
+    )
+    positions = rep_docs.select(
+        "doc_id", F.posexplode(_gram_array("text", k)).alias("idx", "gram")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "gram")
+    dup_pos = (
+        positions.withColumn(
+            "_n", F.count("*").over(W.partitionBy("doc_id", "gram"))
+        )
+        .filter(F.col("_n") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    return (
+        dup_pos.withColumn("brk", brk)
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )

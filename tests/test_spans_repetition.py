@@ -148,3 +148,46 @@ def test_span_stats_actions(spark):
     assert got[1] == (50, round(50 / 110, 4), "cut")
     assert got[2] == (0, 0.0, "keep")
     assert len(got) == 3  # every doc appears
+
+
+# ------------------------------------------------ within-doc repeated spans
+
+
+def test_within_doc_spans_degenerate_doc_one_full_span(spark):
+    from pyspark.sql import Row
+
+    from facematch_spark.operators.dedup import within_doc_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="X" * 50),            # every 20-gram identical
+            Row(doc_id=2, text="".join(chr(97 + (i * 7) % 26) + str(i) for i in range(30))),  # no repeats
+        ]
+    )
+    out = within_doc_repeated_spans(df, k=20).collect()
+    assert {(r["doc_id"], r["span_start"], r["span_end"]) for r in out} == {(1, 1, 51)}
+
+
+def test_within_doc_spans_two_islands_and_cross_doc_excluded(spark):
+    from pyspark.sql import Row
+
+    from facematch_spark.operators.dedup import within_doc_repeated_spans
+
+    block = "the quick brown fox jumps"  # 25 chars -> six 20-gram windows
+    filler1 = "".join(chr(33 + i) for i in range(80))  # 80 distinct chars
+    doc1 = block + filler1 + block       # two in-doc copies, far apart
+    # doc3/doc4 share a block ACROSS docs but have no in-doc repeat
+    doc3 = "zzzz" + block
+    doc4 = block + "qqqq"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=doc1), Row(doc_id=3, text=doc3), Row(doc_id=4, text=doc4)]
+    )
+    out = within_doc_repeated_spans(df, k=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    # only doc 1 is flagged; cross-doc-only repetition is the OTHER operator
+    assert set(by_doc) == {1}
+    spans = sorted(by_doc[1])
+    # copy 1 windows at pos 1..6 -> span [1, 26); copy 2 at 106..111 -> [106, 131)
+    assert spans == [(1, 26), (106, 131)]

@@ -357,6 +357,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return range_join_count(ev, ev, "ts", "ts", 300, out_col="n_prev_5min")
     q["q_range_join"] = q_range_join
 
+    def q_scd2_history(spark, sf):
+        # SCD type-2 history build from a change log: each key's versions get
+        # [valid_from, valid_to) intervals via lead() — ONE key shuffle, one
+        # per-key sort; the open (current) version carries a null valid_to.
+        # With merge_upsert and asof_join this completes the CDC/warehouse
+        # triplet (apply changes / build history / query history as-of).
+        from pyspark.sql import Window as W
+
+        orders = _t(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        )
+    q["q_scd2_history"] = q_scd2_history
+
     def q_merge_upsert(spark, sf):
         # CDC MERGE INTO semantics over immutable parquet (update matched /
         # delete tombstoned / insert new, latest-change-wins) — ONE map-side-
@@ -1180,6 +1200,16 @@ def oracle_sql() -> dict[str, str]:
           ON c.user_id = e.user_id
          AND e.event_type = 'error' AND c.event_type = 'click'
          AND c.ts >= e.ts - INTERVAL 86400 SECOND AND c.ts < e.ts
+    """
+
+    o["q_scd2_history"] = """
+        SELECT o_custkey, o_orderkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """
 
     o["q_merge_upsert"] = """

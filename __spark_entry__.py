@@ -34,6 +34,9 @@ DOC_CFG = DedupeConfig(jaccard_threshold=JT, normalize=True)
 # the default, exercising the otherwise-branch of the threshold CASE)
 SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "zh": 0.1}
 SAMPLE_DEFAULT_RATE = 0.05
+# leakage-safe split fractions (q_curation_split) and fixed-n sample size
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+FIXED_N = 30
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -857,6 +860,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sample_stratified"] = q_sample_stratified
 
+    def q_sample_fixed_n(spark, sf):
+        # exactly-n-per-stratum deterministic sample: rank by (md5, key)
+        # inside each language, keep rank <= n — the eval-set carve-out a
+        # rate-based sample can't produce (a rate yields a binomial count).
+        from facematch_spark.operators.sampling import fixed_n_sample
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        return fixed_n_sample(docs, FIXED_N)
+    q["q_sample_fixed_n"] = q_sample_fixed_n
+
+    def q_curation_split(spark, sf):
+        # dedup-aware train/val/test split: the verdict hashes the doc's
+        # duplicate-CLUSTER id, so near-duplicates can never straddle splits
+        # (the classic eval-leakage bug made structurally impossible).
+        from facematch_spark.operators.dedup import dedup_clusters
+        from facematch_spark.operators.sampling import leakage_safe_split
+
+        docs = _t(spark, sf, "documents")
+        clusters = dedup_clusters(docs, K, JT)
+        return (
+            leakage_safe_split(clusters, SPLIT_FRACTIONS)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "cluster_id", "split_key", "split")
+        )
+    q["q_curation_split"] = q_curation_split
+
+    def q_hot_keys(spark, sf):
+        # heavy-hitter diagnostic over the shingle key space — the report
+        # every salting threshold in this engine is tuned against (hot
+        # shingles → PPJoin prefix tiers, hot bands → LSH salted tier).
+        from facematch_spark.operators.dedup import char_shingles
+        from facematch_spark.operators.profile import hot_keys
+
+        sh = char_shingles(_t(spark, sf, "documents"), K)
+        return hot_keys(sh, "shingle", top_k=20)
+    q["q_hot_keys"] = q_hot_keys
+
+    def q_histogram(spark, sf):
+        # integer-exact equi-width histogram (floor-dollars, integer width /
+        # bounds / bin ids — no float division, so bit-identical across
+        # engines and accumulation orders). Two passes: pruned min/max agg,
+        # then map-only binning + |bins|-row aggregation.
+        from facematch_spark.operators.profile import equi_width_histogram
+
+        return equi_width_histogram(_t(spark, sf, "orders"), "o_totalprice", 12)
+    q["q_histogram"] = q_histogram
+
+    def q_salted_join(spark, sf):
+        # the generic deterministic salted equi-join: 5 event types over all
+        # events is the extreme-skew join shape (5 reducers at any scale);
+        # salting by xxhash64(event_id) spreads each type over 8 reducers
+        # while keeping the result multiset identical to the plain join.
+        from facematch_spark.operators.skew import salted_equi_join
+
+        ev = _t(spark, sf, "events")
+        dim = (
+            ev.select("event_type").distinct()
+            .withColumn("wt", F.length("event_type").cast("long"))
+        )
+        joined = salted_equi_join(ev, dim, on="event_type", uniq_col="event_id")
+        return joined.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long") * F.col("wt")
+            ).alias("weighted_cents"),
+        )
+    q["q_salted_join"] = q_salted_join
+
     def dedup_decontaminate(spark, sf):
         # eval-decontamination: drop train docs (even doc_ids) that
         # near-dup anything in the held-out set (odd doc_ids) at exact
@@ -1454,6 +1525,94 @@ def oracle_sql() -> dict[str, str]:
         WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
               < CASE lang {_sample_case}
                 ELSE '{format(int(SAMPLE_DEFAULT_RATE * 2**32), '08x')}' END
+    """
+
+    o["q_sample_fixed_n"] = f"""
+        WITH keyed AS (
+            SELECT doc_id, lang,
+                   substr(md5('fixn:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, sample_key,
+                   row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS rnk
+            FROM keyed
+        )
+        SELECT doc_id, lang, sample_key, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= {FIXED_N}
+    """
+
+    # cumulative split thresholds, generated by the same loop as
+    # leakage_safe_split (sorted split names, consecutive half-open hash
+    # intervals) so entry and oracle can never disagree on a boundary
+    from facematch_spark.operators.sampling import rate_to_hex_threshold
+
+    _split_names = sorted(SPLIT_FRACTIONS)
+    _split_case, _cum = "", 0.0
+    for _name in _split_names[:-1]:
+        _cum += SPLIT_FRACTIONS[_name]
+        _split_case += (
+            f"WHEN split_key < '{rate_to_hex_threshold(_cum)}' THEN '{_name}' "
+        )
+    o["q_curation_split"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JT}),
+        sym AS (SELECT id_a AS s, id_b AS d FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.d, cc.label FROM cc JOIN sym ON sym.s = cc.node
+        ),
+        cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+        keyed AS (
+            SELECT cl.doc_id, d.lang, cl.cluster_id,
+                   substr(md5('split:' || CAST(cl.cluster_id AS VARCHAR)), 1, 8) AS split_key
+            FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+        )
+        SELECT doc_id, lang, cluster_id, split_key,
+               CASE {_split_case}ELSE '{_split_names[-1]}' END AS split
+        FROM keyed
+    """
+
+    o["q_hot_keys"] = f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {K}) AS shingle
+            FROM documents, UNNEST(range(1, length(text) - {K - 2})) AS t(i)
+        ),
+        c AS (SELECT shingle AS key, count(*) AS n FROM sh GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT key, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c, t
+        ORDER BY n DESC, key ASC
+        LIMIT 20
+    """
+
+    o["q_histogram"] = """
+        WITH v AS (
+            SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+            FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        b AS (SELECT min(v) AS mn, (max(v) - min(v)) // 12 + 1 AS w FROM v)
+        SELECT (v.v - b.mn) // b.w AS bin_id,
+               b.mn + ((v.v - b.mn) // b.w) * b.w AS lo,
+               b.mn + ((v.v - b.mn) // b.w + 1) * b.w - 1 AS hi,
+               count(*) AS n
+        FROM v, b
+        GROUP BY 1, 2, 3
+    """
+
+    o["q_salted_join"] = """
+        WITH dim AS (
+            SELECT DISTINCT event_type,
+                   CAST(length(event_type) AS BIGINT) AS wt
+            FROM events
+        )
+        SELECT e.user_id,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT) * d.wt) AS BIGINT) AS weighted_cents
+        FROM events e JOIN dim d ON d.event_type = e.event_type
+        GROUP BY e.user_id
     """
 
     o["dedup_decontaminate"] = f"""

@@ -172,6 +172,8 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "text_pii_redact", "text_tfidf", "q_cube_metrics", "q_bucketed_join",
         "q_merge_upsert", "q_interval_join", "text_chunk", "q_shard_plan",
         "q_temperature_sample", "text_pack_plan", "dedup_within_doc_spans",
+        "q_scd2_history", "q_sample_fixed_n", "q_curation_split", "q_hot_keys",
+        "q_histogram", "q_salted_join",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

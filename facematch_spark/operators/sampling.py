@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rate_to_hex_threshold", "stratified_sample"]
+__all__ = [
+    "rate_to_hex_threshold",
+    "stratified_sample",
+    "fixed_n_sample",
+    "leakage_safe_split",
+]
 
 
 def rate_to_hex_threshold(rate: float) -> str:
@@ -153,3 +158,102 @@ def temperature_sample(
         .filter(F.col("sample_key") < F.col("_threshold"))
         .drop("_rate", "_threshold")
     )
+
+
+def fixed_n_sample(
+    df: DataFrame,
+    n: int,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "fixn:",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically —
+    the "give me 10k eval docs per language" request that rate-based
+    sampling can't satisfy (a rate yields a *binomial* count, and the right
+    rate isn't known until the stratum is counted).
+
+    Rows are ranked inside each stratum by ``(md5(salt || key), key)`` — a
+    uniform total order independent of partition layout and engine — and
+    ranks ≤ n are kept. Because the order is per-row-key stable, the sample
+    is **prefix-nested across sizes** (the n=100 sample contains the n=50
+    sample at the same salt) and **anti-stable under growth** in the useful
+    direction: new rows displace the highest-ranked members first, never
+    reshuffle the survivors' relative order.
+
+    Scale: one shuffle on ``strata_col`` and a per-stratum sort. For strata
+    far larger than ``n``, pre-filter with :func:`stratified_sample` at a
+    generous rate (e.g. ``4·n/|stratum|``) so the sort sees O(n) rows per
+    stratum instead of the full corpus, then rank the survivors; the
+    md5-order prefix property guarantees the top-n under the filter equals
+    the top-n without it whenever the filter keeps ≥ n rows.
+
+    Returns the kept rows plus ``sample_key`` (the ranking hash) and
+    ``rnk`` (1-based rank within the stratum).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window as W
+
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    w = W.partitionBy(strata_col).orderBy("sample_key", key_col)
+    return (
+        df.withColumn("sample_key", key)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= n)
+    )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    cluster_col: str = "cluster_id",
+    salt: str = "split:",
+) -> DataFrame:
+    """Train/val/test split assignment that near-duplicates cannot straddle:
+    the split verdict hashes the row's duplicate-**cluster** id, not the row
+    id, so every member of a near-dup cluster lands in the same split.
+
+    Splitting by doc hash after dedup is the classic leakage bug — the
+    cluster representative goes to train while an undropped near-twin (or
+    the raw corpus rerun) lands in test, and the eval set silently overlaps
+    training data. Keying the hash by ``cluster_col`` makes the guarantee
+    structural: P[doc in split s] is still fractions[s] in expectation
+    (cluster hashes are uniform), but the granule of assignment is the
+    whole cluster.
+
+    ``fractions`` must sum to 1 (within 1e-9): splits are **disjoint and
+    exhaustive** by construction — consecutive half-open intervals of the
+    32-bit hash space, ordered by split name for determinism. The verdict
+    is a pure per-row expression over ``cluster_col`` (map-only — composes
+    with any upstream partitioning, no shuffle of its own) and is stable
+    under corpus growth for every cluster whose id survives (cluster_id =
+    min member doc_id: adding docs can only change it when a new doc
+    bridges or precedes the cluster — exactly when re-deciding is correct).
+
+    Returns the input plus ``split_key`` (the hash prefix) and ``split``.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(cluster_col).cast("string"))), 1, 8
+    )
+    cum = 0.0
+    verdict = None
+    names = sorted(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        hi = F.lit(rate_to_hex_threshold(cum))
+        branch = F.col("split_key") < hi
+        verdict = (
+            F.when(branch, F.lit(name))
+            if verdict is None
+            else verdict.when(branch, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    verdict = last if verdict is None else verdict.otherwise(last)
+    return clusters.withColumn("split_key", key).withColumn("split", verdict)

@@ -254,6 +254,58 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
     )
 
+    # 21. salted equi-join: the physical join keys must include the salt
+    # (that IS the mechanism — without it the hot key hashes to one reducer)
+    from facematch_spark.operators.skew import salted_equi_join
+
+    fact = events.select("event_id", "event_type", "value")
+    dim = fact.select("event_type").distinct().select(
+        "event_type", F.length("event_type").cast("long").alias("wt")
+    )
+    summarize(
+        "salted equi-join",
+        salted_equi_join(fact, dim, on="event_type", uniq_col="event_id"),
+        expect=[r"_salt"],
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
+    )
+
+    # 22. fixed-n sample: the rank window must carry a partition spec (a
+    # global ORDER BY window would be a single-task scale bug), and Spark's
+    # WindowGroupLimit must fire MAP-SIDE — the rnk <= n filter is pushed
+    # below the exchange, so only ~n rows per stratum per input partition
+    # cross the shuffle (the docstring's prefilter advice made automatic)
+    from facematch_spark.operators.sampling import fixed_n_sample
+
+    summarize(
+        "fixed-n sample",
+        fixed_n_sample(docs.select("doc_id", "lang"), 30),
+        expect=[r"WindowGroupLimit", r"hashpartitioning\(lang"],
+        forbid=[r"SinglePartition", r"CartesianProduct"],
+    )
+
+    # 23. heavy-hitter report: TakeOrderedAndProject (top-k without a
+    # global sort), map-side partial aggregation before the key shuffle
+    from facematch_spark.operators.dedup import char_shingles
+    from facematch_spark.operators.profile import hot_keys
+
+    summarize(
+        "hot keys",
+        hot_keys(char_shingles(docs, 9), "shingle", top_k=20),
+        expect=[r"TakeOrderedAndProject", r"partial_count"],
+        forbid=[r"Exchange rangepartitioning"],  # no global sort
+    )
+
+    # 24. histogram: map-only binning after a broadcast of the 1-row
+    # bounds — no shuffle of the fact rows except the |bins|-key agg
+    from facematch_spark.operators.profile import equi_width_histogram
+
+    summarize(
+        "equi-width histogram",
+        equi_width_histogram(orders, "o_totalprice", 12),
+        expect=[r"BroadcastNestedLoopJoin|BroadcastHashJoin", r"partial_count"],
+        forbid=[r"CartesianProduct", r"Exchange rangepartitioning"],
+    )
+
     spark.stop()
 
 

@@ -860,6 +860,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sample_stratified"] = q_sample_stratified
 
+    def q5_region_volume(spark, sf):
+        # TPC-H Q5 shape: a 6-table snowflake (fact lineitem + orders,
+        # dims customer/supplier/nation/region) — the declared join graph
+        # lets Catalyst reorder the tree and broadcast every dim; revenue is
+        # summed in integer 1e-4-dollar units (price-cents × discount
+        # complement in percent) so the result is exact under ANY
+        # accumulation order — float sums would hash-flicker vs DuckDB.
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        rev = (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                s,
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            .filter(
+                (F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            )
+            .groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue_e4"))
+        )
+    q["q5_region_volume"] = q5_region_volume
+
+    def dedup_cluster_stats(spark, sf):
+        # the dedup summary a corpus report leads with: the cluster-size
+        # distribution (how many singletons, pairs, k-plexes) — two
+        # |clusters|-row aggregations past the clustering itself.
+        from facematch_spark.operators.dedup import dedup_clusters
+
+        clusters = dedup_clusters(_t(spark, sf, "documents"), K, JT)
+        sizes = clusters.groupBy("cluster_id").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count("*").alias("n_clusters")
+        )
+    q["dedup_cluster_stats"] = dedup_cluster_stats
+
+    def streaming_enrich_counts(spark, sf):
+        # stream-static join under the real engine: event stream × broadcast
+        # static dim, then exact-integer aggregation in complete mode — the
+        # enrichment shape production streams run against slowly-changing
+        # dimensions; equals the batch join+agg bit-for-bit.
+        from facematch_spark.streaming.incremental import streaming_static_enrich
+
+        return streaming_static_enrich(spark, f"{sf}/events.parquet")
+    q["streaming_enrich_counts"] = streaming_enrich_counts
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -1525,6 +1587,52 @@ def oracle_sql() -> dict[str, str]:
         WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
               < CASE lang {_sample_case}
                 ELSE '{format(int(SAMPLE_DEFAULT_RATE * 2**32), '08x')}' END
+    """
+
+    o["q5_region_volume"] = """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate <  DATE '1997-01-01'
+        GROUP BY n_name
+    """
+
+    o["dedup_cluster_stats"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JT}),
+        sym AS (SELECT id_a AS s, id_b AS d FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.d, cc.label FROM cc JOIN sym ON sym.s = cc.node
+        ),
+        cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+        sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM sizes GROUP BY cluster_size
+    """
+
+    o["streaming_enrich_counts"] = """
+        WITH dim AS (
+            SELECT DISTINCT event_type,
+                   CAST(length(event_type) AS BIGINT) AS wt
+            FROM events
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT) * d.wt) AS BIGINT) AS weighted_cents
+        FROM events e JOIN dim d ON d.event_type = e.event_type
+        GROUP BY e.event_type
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -174,6 +174,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q_temperature_sample", "text_pack_plan", "dedup_within_doc_spans",
         "q_scd2_history", "q_sample_fixed_n", "q_curation_split", "q_hot_keys",
         "q_histogram", "q_salted_join",
+        "q5_region_volume", "dedup_cluster_stats", "streaming_enrich_counts",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

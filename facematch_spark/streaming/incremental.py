@@ -237,3 +237,64 @@ def streaming_click_error_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_static_enrich(
+    spark: SparkSession,
+    parquet_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-static join under the real engine — the enrichment shape every
+    production stream runs (events against a slowly-changing dimension):
+    the event stream joins a broadcast STATIC dim (here: per-event-type
+    weights, derived once from a batch read), then aggregates exact integer
+    cents per type in complete mode.
+
+    Semantics the batch oracle can verify: a stream-static inner join is
+    stateless (each micro-batch joins against the dim as of that batch; the
+    dim here is immutable), and the complete-mode aggregation over integer
+    cents is order-independent — so the final table equals the batch
+    join+agg bit-for-bit.
+
+    Scale note: Spark re-plans the static side each micro-batch — a
+    broadcast dim is re-broadcast per trigger (fine for true dims; snapshot
+    and cache it for fat ones), and updates to the underlying dim files
+    between triggers are picked up, which is exactly the
+    slowly-changing-dimension behavior wanted.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    batch = spark.read.parquet(parquet_path)
+    schema = batch.schema
+    dim = (
+        batch.select("event_type").distinct()
+        .withColumn("wt", F.length("event_type").cast("long"))
+    )
+    if os.path.isfile(parquet_path):
+        staged = tempfile.mkdtemp(prefix="fm_stream_enrich_")
+        shutil.copy(parquet_path, staged)
+        parquet_path = staged
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path)
+    enriched = stream.join(F.broadcast(dim), "event_type").select(
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("long") * F.col("wt")).alias("cents"),
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("weighted_cents"),
+    )
+    name = f"stream_enrich_{abs(hash(parquet_path)) % 10_000_000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -160,3 +160,40 @@ def test_streaming_join_matches_batch_across_batches(spark, tmp_path_factory):
     )
     got = {(r["error_id"], r["click_id"]) for r in out.collect()}
     assert got == {(10, 1), (10, 2), (14, 3), (14, 13)}
+
+
+def test_streaming_static_enrich_matches_batch_across_batches(
+    spark, tmp_path_factory
+):
+    """Stream-static join: with events split over two files (two
+    micro-batches at maxFilesPerTrigger=1), every batch joins against the
+    SAME static dim and the complete-mode integer aggregation must equal
+    the batch join+agg exactly — including an event type that only appears
+    in the second batch (the dim is derived from a batch read of the whole
+    directory, so it covers types the first micro-batch hasn't seen)."""
+    import pandas as pd
+
+    from facematch_spark.streaming.incremental import streaming_static_enrich
+
+    d = tmp_path_factory.mktemp("stream_enrich")
+
+    def mk(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ).to_parquet(str(d / name))
+
+    mk("a.parquet", [(1, "click", 1.25), (2, "view", 2.0), (3, "click", 0.1)])
+    mk("b.parquet", [(4, "click", 3.0), (5, "signup", 10.5)])
+
+    out = streaming_static_enrich(spark, str(d), max_files_per_trigger=1)
+    got = {(r.event_type, r.n_events, r.weighted_cents) for r in out.collect()}
+    # wt = len(event_type); cents = round(value*100) * wt
+    assert got == {
+        ("click", 3, (125 + 10 + 300) * 5),
+        ("view", 1, 200 * 4),
+        ("signup", 1, 1050 * 6),
+    }

@@ -306,6 +306,17 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"Exchange rangepartitioning"],
     )
 
+    # 25. snowflake join (TPC-H Q5 shape): every dim broadcast, the date
+    # filter pushed into the orders scan, no cartesian anywhere
+    import __spark_entry__ as E
+
+    summarize(
+        "q5 snowflake join",
+        E.queries()["q5_region_volume"](spark, sf),
+        expect=[r"BroadcastHashJoin", r"GreaterThanOrEqual\(o_orderdate"],
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
+    )
+
     spark.stop()
 
 

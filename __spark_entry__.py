@@ -922,6 +922,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return streaming_static_enrich(spark, f"{sf}/events.parquet")
     q["streaming_enrich_counts"] = streaming_enrich_counts
 
+    def text_line_dedup(spark, sf):
+        # C4/CCNet line-level boilerplate scrub. The fixture is single-line,
+        # so the entry PLANTS a deterministic multi-line shape (the
+        # text_pii_redact pattern): a license header on even docs, a
+        # generator banner on every third doc, the doc's own text (which the
+        # fixture genuinely duplicates across docs — those lines are removed
+        # too, the real dedup at work), and a unique signature line that
+        # must always survive.
+        from facematch_spark.operators.text import line_dedup
+
+        docs = _t(spark, sf, "documents")
+        planted = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.when(F.col("doc_id") % 2 == 0, F.lit("license: apache-2.0")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("generated by fm-gen v1")),
+                F.col("text"),
+                F.concat(F.lit("sig "), F.md5(F.col("doc_id").cast("string"))),
+            ).alias("text"),
+        )
+        return line_dedup(planted, min_docs=2)
+    q["text_line_dedup"] = text_line_dedup
+
+    def q_corpus_shuffle(spark, sf):
+        # deterministic global training shuffle: epoch order = rank in the
+        # md5-keyed total order. Rank is the distributed prefix sum
+        # (shard_plan over 1-byte rows — cum_bytes IS the rank), never a
+        # global ORDER BY window (single-task at scale); shard_id = the
+        # 100-doc epoch file the row lands in. Same salt-keyed determinism
+        # contract as the samplers: reproducible, partition-invariant.
+        from facematch_spark.operators.shard import shard_plan
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.md5(
+                F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+            ).alias("skey"),
+            F.lit(1).alias("one"),
+        )
+        plan = shard_plan(docs, key=["skey", "doc_id"], bytes_col="one", target_bytes=100)
+        return plan.select(
+            "doc_id", F.col("cum_bytes").alias("shuffle_rank"), "shard_id"
+        )
+    q["q_corpus_shuffle"] = q_corpus_shuffle
+
+    def q_partition_prune(spark, sf):
+        # write-once date-partitioned layout, then a 3-day query whose scan
+        # prunes at PLANNING time (PartitionFilters = directory listing, not
+        # data IO — explain check 26 asserts it; at 100 TB with daily
+        # partitions this is O(days asked), not O(corpus)). Money summed as
+        # integer cents, exact under any accumulation order.
+        from facematch_spark.operators.partitioned import daily_event_layout
+
+        ev = daily_event_layout(spark, _t(spark, sf, "events"))
+        return (
+            ev.filter(
+                F.col("event_date").between(
+                    F.lit("2024-01-07").cast("date"),
+                    F.lit("2024-01-09").cast("date"),
+                )
+            )
+            .groupBy(
+                F.col("event_date").cast("string").alias("event_date"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            )
+        )
+    q["q_partition_prune"] = q_partition_prune
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -1633,6 +1706,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT) * d.wt) AS BIGINT) AS weighted_cents
         FROM events e JOIN dim d ON d.event_type = e.event_type
         GROUP BY e.event_type
+    """
+
+    o["text_line_dedup"] = """
+        WITH planted AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       CASE WHEN doc_id % 2 = 0 THEN 'license: apache-2.0' END,
+                       CASE WHEN doc_id % 3 = 0 THEN 'generated by fm-gen v1' END,
+                       text,
+                       'sig ' || md5(CAST(doc_id AS VARCHAR))) AS text
+            FROM documents
+        ),
+        split AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted),
+        pos AS (
+            SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n_lines,
+                   unnest(range(1, len(arr) + 1)) AS i
+            FROM split
+        ),
+        lines AS (SELECT doc_id, n_lines, i AS pos, arr[i] AS line FROM pos),
+        bp AS (
+            SELECT line
+            FROM (SELECT DISTINCT line, doc_id FROM lines)
+            GROUP BY line HAVING count(*) >= 2
+        )
+        SELECT l.doc_id,
+               coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                                   chr(10) ORDER BY l.pos), '') AS clean_text,
+               l.n_lines,
+               CAST(count(b.line) AS BIGINT) AS n_removed
+        FROM lines l LEFT JOIN bp b ON l.line = b.line
+        GROUP BY l.doc_id, l.n_lines
+    """
+
+    o["q_corpus_shuffle"] = """
+        WITH ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS r
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(r AS BIGINT) AS shuffle_rank,
+               CAST((r - 1) // 100 AS BIGINT) AS shard_id
+        FROM ranked
+    """
+
+    o["q_partition_prune"] = """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-09'
+        GROUP BY 1, 2
     """
 
     o["q_sample_fixed_n"] = f"""

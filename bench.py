@@ -175,6 +175,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q_scd2_history", "q_sample_fixed_n", "q_curation_split", "q_hot_keys",
         "q_histogram", "q_salted_join",
         "q5_region_volume", "dedup_cluster_stats", "streaming_enrich_counts",
+        "text_line_dedup", "q_corpus_shuffle", "q_partition_prune",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

@@ -297,3 +297,74 @@ def chunk_documents(
             F.col("n_chunks"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_lines: bool = False,
+) -> DataFrame:
+    """Line-level corpus deduplication — the C4/CCNet boilerplate scrub
+    (Raffel et al. 2020 drop repeated three-sentence spans; CCNet dedups
+    paragraphs): a line occurring in >= ``min_docs`` DISTINCT documents is
+    corpus boilerplate (license headers, generator banners, nav chrome)
+    and is removed from EVERY document; surviving lines are reassembled in
+    their original order. Lines are compared verbatim (no normalization) so
+    the SQL oracle reproduces the predicate exactly; blank lines follow the
+    same rule as any other line.
+
+    Dataflow (three shuffles, each on the natural key):
+      1. ``posexplode(split(text, '\\n'))`` map-side;
+      2. boilerplate detection: per-line distinct-doc count via
+         ``dropDuplicates([key, id]) -> groupBy(key).count()`` — the two
+         stages share one hash exchange on the key. A window
+         ``collect_set(doc_id)`` would buffer every occurrence of a hot
+         line per row (the hot key IS the boilerplate — a license line at
+         100 TB occurs in billions of docs), so the agg form is the only
+         scale-safe one;
+      3. left join the line relation back on the same key (exchange reuse;
+         AQE broadcasts when the boilerplate set is small, which it
+         typically is) and re-group by doc to reassemble.
+
+    ``hash_lines=True`` swaps the 8-byte ``xxhash64`` of the line for the
+    line string as the detection/join key — the same shuffle diet as
+    ``duplicate_spans(hash_grams=True)`` (parity pytest-pinned; a collision
+    could only MERGE two lines' doc counts, i.e. over-remove).
+
+    Every input row is represented in the output: a document whose lines
+    are all boilerplate comes back with ``clean_text = ''``.
+
+    Output: (id_col, clean_text, n_lines, n_removed).
+    """
+    arr = F.split(F.col(text_col), "\n")
+    lines = docs.select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("n_lines"),
+        F.posexplode(arr).alias("pos", "line"),
+    )
+    key = F.xxhash64("line") if hash_lines else F.col("line")
+    bp = (
+        lines.select(key.alias("_k"), id_col)
+        .dropDuplicates()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_k", F.lit(True).alias("_bp"))
+    )
+    joined = lines.withColumn("_k", key).join(bp, "_k", "left")
+    kept = F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+    return (
+        joined.groupBy(id_col, "n_lines")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_bp").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(id_col, "clean_text", "n_lines", "n_removed")
+    )

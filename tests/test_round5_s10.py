@@ -1,0 +1,91 @@
+"""Round-5 session-9 (cont.) operators: C4-style line-level corpus dedup,
+deterministic corpus shuffle, partition-pruned layout.
+
+Each test pins the property the DuckDB value-hash oracle cannot see —
+all-boilerplate docs survive as rows, hash-key parity, planning-time
+partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from facematch_spark.operators.partitioned import daily_event_layout
+from facematch_spark.operators.text import line_dedup
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    hdr = "license: apache-2.0"
+    rows = [
+        (1, f"{hdr}\nalpha beta\nsig one"),
+        (2, f"{hdr}\ngamma delta\nsig two"),
+        (3, hdr),                      # all lines boilerplate
+        (4, "unique only\nsig four"),  # nothing removed
+        (5, "alpha beta\nalpha beta"), # cross-doc dup (doc 1) twice in-doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_removes_boilerplate_keeps_unique(spark, lined_docs):
+    out = {r.doc_id: r for r in line_dedup(lined_docs, min_docs=2).collect()}
+    # doc 1 loses the header AND "alpha beta" (it also lives in doc 5)
+    assert out[1].clean_text == "sig one"
+    assert out[1].n_removed == 2 and out[1].n_lines == 3
+    assert out[4].clean_text == "unique only\nsig four"
+    assert out[4].n_removed == 0
+
+
+def test_line_dedup_all_boilerplate_doc_survives_as_row(spark, lined_docs):
+    out = {r.doc_id: r for r in line_dedup(lined_docs, min_docs=2).collect()}
+    assert out[3].clean_text == "" and out[3].n_removed == 1
+
+
+def test_line_dedup_counts_docs_not_occurrences(spark, lined_docs):
+    # "alpha beta" occurs 3 times but in only 2 DISTINCT docs; with
+    # min_docs=3 it must survive everywhere (occurrence-counting would
+    # wrongly flag it).
+    out = {r.doc_id: r for r in line_dedup(lined_docs, min_docs=3).collect()}
+    assert out[5].clean_text == "alpha beta\nalpha beta"
+    assert out[1].n_removed == 1  # only the 3-doc header goes at min_docs=3
+    # min_docs=2: both in-doc copies of the cross-doc dup line go.
+    out2 = {r.doc_id: r for r in line_dedup(lined_docs, min_docs=2).collect()}
+    assert out2[5].clean_text == "" and out2[5].n_removed == 2
+
+
+def test_line_dedup_hash_key_parity(spark, lined_docs):
+    a = {tuple(r) for r in line_dedup(lined_docs, hash_lines=False).collect()}
+    b = {tuple(r) for r in line_dedup(lined_docs, hash_lines=True).collect()}
+    assert a == b
+
+
+def test_line_dedup_preserves_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "z\nbp\na"), (2, "bp\nm")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.clean_text for r in line_dedup(docs, min_docs=2).collect()}
+    assert out[1] == "z\na"  # original order, not sorted content
+
+
+def test_partition_prune_plans_partition_filters(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-07 10:00:00", "click", 1.0),
+            (2, "2024-01-08 11:00:00", "view", 2.0),
+            (3, "2024-01-20 12:00:00", "click", 3.0),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    layout = daily_event_layout(spark, ev)
+    pruned = layout.filter(
+        F.col("event_date").between(
+            F.lit("2024-01-07").cast("date"), F.lit("2024-01-09").cast("date")
+        )
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan
+    # pruning is planning-time: only the asked dates' files are read
+    assert {r.event_id for r in pruned.collect()} == {1, 2}
+    scan = pruned.select(F.input_file_name()).distinct().collect()
+    assert all("2024-01-20" not in r[0] for r in scan)
+    assert len(scan) <= 2

@@ -317,6 +317,24 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
     )
 
+    # 26. partition-pruned layout: the 3-day filter resolves against
+    # directory names at planning time (PartitionFilters), never a row scan
+    summarize(
+        "partition-pruned scan",
+        E.queries()["q_partition_prune"](spark, sf),
+        expect=[r"PartitionFilters: \[.*event_date"],
+        forbid=[r"CartesianProduct"],
+    )
+
+    # 27. line dedup: no global sort, no cartesian; the reassembly groups
+    # on doc_id (hashpartitioning), the detection on the line key
+    summarize(
+        "line-level corpus dedup",
+        E.queries()["text_line_dedup"](spark, sf),
+        expect=[r"hashpartitioning\(doc_id"],
+        forbid=[r"CartesianProduct", r"Exchange rangepartitioning"],
+    )
+
     spark.stop()
 
 

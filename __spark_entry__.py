@@ -995,6 +995,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_partition_prune"] = q_partition_prune
 
+    def q_rolling_window(spark, sf):
+        # time-RANGE rolling aggregate (30-day rolling spend per customer) —
+        # the sliding-window shape q_window_running (rows-frame) doesn't
+        # cover: the frame is an event-time interval, so same-day peers
+        # enter together. One shuffle on the key, integer cents (exact under any
+        # accumulation order).
+        from pyspark.sql import Window as W
+
+        o = _t(spark, sf, "orders")
+        w = (
+            W.partitionBy("o_custkey")
+            .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+            .rangeBetween(-30 * 86400, 0)
+        )
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        return o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(cents).over(w).alias("rolling_cents_30d"),
+        )
+    q["q_rolling_window"] = q_rolling_window
+
+    def q_funnel(spark, sf):
+        # ordered funnel (view -> click -> purchase, strictly increasing ts
+        # per user): each stage's entry time is the min event time AFTER the
+        # previous stage's — three tiny per-user aggs joined on user_id, the
+        # same hash partitioning reused across all three (no windows, no
+        # per-user event sorting).
+        ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+        t1 = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        t2 = (
+            ev.filter(F.col("event_type") == "click")
+            .join(t1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        t3 = (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(t2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        return (
+            t1.select(F.lit("1_view").alias("stage"))
+            .unionByName(t2.select(F.lit("2_click").alias("stage")))
+            .unionByName(t3.select(F.lit("3_purchase").alias("stage")))
+            .groupBy("stage")
+            .agg(F.count("*").alias("n_users"))
+        )
+    q["q_funnel"] = q_funnel
+
+    def q_table_diff(spark, sf):
+        # snapshot reconciliation: diff the documents table against a
+        # deterministically mutated twin (drop %97, edit %31, insert %53
+        # under shifted ids) — one full-outer join on (key, content-hash),
+        # 16 bytes/row on the wire regardless of row width. md5 mode so the
+        # oracle reproduces the hash verbatim (xxhash64 is the fast path).
+        from facematch_spark.operators.diff import snapshot_diff
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+        new = (
+            docs.filter(F.col("doc_id") % 97 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 53 == 0).select(
+                    (F.col("doc_id") + 1000000000).alias("doc_id"),
+                    F.col("lang"),
+                    F.concat(
+                        F.lit("new doc "), F.col("doc_id").cast("string")
+                    ).alias("text"),
+                )
+            )
+        )
+        return snapshot_diff(docs, new, "doc_id", use_md5=True)
+    q["q_table_diff"] = q_table_diff
+
+    def q_outlier_iqr(spark, sf):
+        # Tukey-fence outlier screen per group (the data-quality gate before
+        # training on numeric features): quartiles from the tiny per-group
+        # agg, fences broadcast back, outliers re-aggregated. percentile ==
+        # DuckDB quantile_cont bit-for-bit (probed — see q_percentiles);
+        # fence arithmetic is 3 IEEE ops on identical doubles, so the
+        # verdicts are cross-engine exact.
+        ev = _t(spark, sf, "events")
+        fences = (
+            ev.groupBy("event_type")
+            .agg(
+                F.percentile("value", 0.25).alias("q1"),
+                F.percentile("value", 0.75).alias("q3"),
+            )
+            .select(
+                "event_type",
+                (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+                (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+            )
+        )
+        return (
+            ev.join(F.broadcast(fences), "event_type")
+            .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_outliers"),
+                F.min("value").alias("out_min"),
+                F.max("value").alias("out_max"),
+            )
+        )
+    q["q_outlier_iqr"] = q_outlier_iqr
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -1761,6 +1880,87 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-07' AND DATE '2024-01-09'
         GROUP BY 1, 2
+    """
+
+    o["q_rolling_window"] = """
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS rolling_cents_30d
+        FROM orders
+    """
+
+    o["q_funnel"] = """
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN t2 ON e.user_id = t2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+        UNION ALL SELECT '2_click', count(*) FROM t2
+        UNION ALL SELECT '3_purchase', count(*) FROM t3
+    """
+
+    o["q_table_diff"] = """
+        WITH oldt AS (SELECT doc_id, lang, text FROM documents),
+        newt AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 31 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 97 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000000, lang, 'new doc ' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 53 = 0
+        ),
+        oh AS (
+            SELECT doc_id, md5(concat_ws(chr(31),
+                       coalesce(CAST(lang AS VARCHAR), chr(0)),
+                       coalesce(CAST(text AS VARCHAR), chr(0)))) AS h
+            FROM oldt
+        ),
+        nh AS (
+            SELECT doc_id, md5(concat_ws(chr(31),
+                       coalesce(CAST(lang AS VARCHAR), chr(0)),
+                       coalesce(CAST(text AS VARCHAR), chr(0)))) AS h
+            FROM newt
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed' END AS status
+        FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id
+        WHERE (o.h IS NULL OR n.h IS NULL OR o.h <> n.h)
+    """
+
+    o["q_outlier_iqr"] = """
+        WITH fences AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        ),
+        b AS (
+            SELECT event_type,
+                   q1 - 1.5 * (q3 - q1) AS lo,
+                   q3 + 1.5 * (q3 - q1) AS hi
+            FROM fences
+        )
+        SELECT e.event_type,
+               count(*) AS n_outliers,
+               min(e.value) AS out_min,
+               max(e.value) AS out_max
+        FROM events e JOIN b ON e.event_type = b.event_type
+        WHERE e.value < b.lo OR e.value > b.hi
+        GROUP BY e.event_type
     """
 
     o["q_sample_fixed_n"] = f"""

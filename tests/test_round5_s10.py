@@ -89,3 +89,108 @@ def test_partition_prune_plans_partition_filters(spark):
     scan = pruned.select(F.input_file_name()).distinct().collect()
     assert all("2024-01-20" not in r[0] for r in scan)
     assert len(scan) <= 2
+
+
+# ---- snapshot_diff ----
+
+from facematch_spark.operators.diff import snapshot_diff
+
+
+@pytest.fixture(scope="module")
+def snap_pair(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, "")], "k long, v string"
+    )
+    return old, new
+
+
+def test_snapshot_diff_statuses(spark, snap_pair):
+    old, new = snap_pair
+    got = {(r.k, r.status) for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {(2, "changed"), (3, "removed"), (5, "added"), (4, "changed")}
+
+
+def test_snapshot_diff_null_is_not_empty_string(spark, snap_pair):
+    # row 4 goes NULL -> '' : the coalesce sentinel must flag it as changed
+    # (concat_ws alone would hash both to the same string).
+    old, new = snap_pair
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
+    assert got[4] == "changed"
+
+
+def test_snapshot_diff_hash_mode_parity(spark, snap_pair):
+    old, new = snap_pair
+    a = {tuple(r) for r in snapshot_diff(old, new, "k", use_md5=False).collect()}
+    b = {tuple(r) for r in snapshot_diff(old, new, "k", use_md5=True).collect()}
+    assert a == b
+
+
+def test_snapshot_diff_rejects_keyonly(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, "k")
+
+
+# ---- funnel ordering (entry-level property the oracle shares, pinned
+# against an independent hand computation) ----
+
+def test_funnel_requires_strict_order(spark):
+    import __spark_entry__ as E
+    import pandas as pd
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-01 12:00:00"),
+        # u2: clicked BEFORE viewing -> stops at stage 1
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # u3: view+click, purchase SIMULTANEOUS with click -> strict ts
+        # ordering excludes it from stage 3
+        (3, "view", "2024-01-01 10:00:00"),
+        (3, "click", "2024-01-01 11:00:00"),
+        (3, "purchase", "2024-01-01 11:00:00"),
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="fm_funnel_")
+    pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+        }
+    ).to_parquet(os.path.join(d, "events.parquet"))
+    out = {r.stage: r.n_users for r in E.queries()["q_funnel"](spark, d).collect()}
+    assert out == {"1_view": 3, "2_click": 2, "3_purchase": 1}
+
+
+# ---- rolling time-range window frame semantics ----
+
+def test_rolling_window_range_frame(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01"),
+            (2, 10, "2024-01-01"),   # same-day peer: both see both
+            (3, 10, "2024-01-31"),   # 30 days after 01-01: inside frame
+            (4, 10, "2024-02-01"),   # 31 days after 01-01: outside
+        ],
+        "o_orderkey long, cust long, d string",
+    ).withColumn("ts", F.col("d").cast("timestamp"))
+    w = (
+        W.partitionBy("cust")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    got = {
+        r.o_orderkey: r.s
+        for r in df.select("o_orderkey", F.sum("o_orderkey").over(w).alias("s")).collect()
+    }
+    assert got[1] == 3 and got[2] == 3      # peers include each other
+    assert got[3] == 1 + 2 + 3              # 30-day edge inclusive
+    assert got[4] == 3 + 4                  # 01-01 rows aged out

@@ -335,6 +335,24 @@ def main() -> None:
         forbid=[r"CartesianProduct", r"Exchange rangepartitioning"],
     )
 
+    # 28. snapshot diff: one full-outer join on the key over (key, hash)
+    # projections — full rows never cross the exchange
+    summarize(
+        "snapshot diff",
+        E.queries()["q_table_diff"](spark, sf),
+        expect=[r"FullOuter", r"md5"],
+        forbid=[r"CartesianProduct", r"BroadcastNestedLoop"],
+    )
+
+    # 29. rolling time-range window: frame rides one hash exchange on the
+    # key; no global sort
+    summarize(
+        "rolling 30d window",
+        E.queries()["q_rolling_window"](spark, sf),
+        expect=[r"hashpartitioning\(o_custkey", r"RangeFrame, -2592000"],
+        forbid=[r"Exchange rangepartitioning", r"CartesianProduct"],
+    )
+
     spark.stop()
 
 

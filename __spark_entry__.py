@@ -1114,6 +1114,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_outlier_iqr"] = q_outlier_iqr
 
+    def q_sample_weighted(spark, sf):
+        # length-proportional Bernoulli sample (char-budgeted subcorpus in
+        # fewer rows): P(keep) = n_chars / max(n_chars), md5-keyed so the
+        # verdicts are map-only, partition-invariant and reproducible.
+        from facematch_spark.operators.sampling import weighted_sample
+
+        docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        return weighted_sample(docs, "n_chars")
+    q["q_sample_weighted"] = q_sample_weighted
+
+    def q_json_extract(spark, sf):
+        # semi-structured extraction: events.props is a JSON blob; pull the
+        # typed field JVM-side (get_json_object — no Python, codegen) and
+        # aggregate it like any column. The canonical "logs arrive as JSON"
+        # shape; schema-on-read without an inference scan.
+        ev = _t(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("long")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+        )
+    q["q_json_extract"] = q_json_extract
+
+    def q_zscore(spark, sf):
+        # per-group z-score normalization (feature scaling before training)
+        # with CROSS-ENGINE-EXACT moments: sums are integer cents (exact
+        # under any accumulation order), mean/stddev derive from those ints
+        # by a fixed sequence of IEEE ops, sqrt is correctly rounded — so
+        # every z is bit-identical in any ANSI engine. The float-sum form
+        # would hash-flicker with partitioning.
+        ev = _t(spark, sf, "events")
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        stats = ev.groupBy("event_type").agg(
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+            F.count("*").alias("n"),
+        )
+        s1d, s2d, nd = (F.col(c).cast("double") for c in ("s1", "s2", "n"))
+        b = stats.select(
+            "event_type",
+            (s1d / nd).alias("mean_c"),
+            F.sqrt((s2d - s1d * s1d / nd) / nd).alias("sd_c"),
+        )
+        return ev.join(F.broadcast(b), "event_type").select(
+            "event_id",
+            "event_type",
+            ((cents.cast("double") - F.col("mean_c")) / F.col("sd_c")).alias("z"),
+        )
+    q["q_zscore"] = q_zscore
+
+    def q_cooccurrence(spark, sf):
+        # co-occurrence / market-basket pairs: for each unordered pair of
+        # event types, how many users did both — distinct(user, type), one
+        # self-join on user_id with the canonical type_a < type_b pair
+        # dedup (the P4 pattern at the behavioral level). Output is bounded
+        # by |types|² regardless of corpus size.
+        ut = _t(spark, sf, "events").select("user_id", "event_type").distinct()
+        a, b = ut.alias("a"), ut.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_type") < F.col("b.event_type")),
+            )
+            .groupBy(
+                F.col("a.event_type").alias("type_a"),
+                F.col("b.event_type").alias("type_b"),
+            )
+            .agg(F.count("*").alias("n_users"))
+        )
+    q["q_cooccurrence"] = q_cooccurrence
+
+    def q_percent_rank(spark, sf):
+        # tie-stable rank features per group: percent_rank and cume_dist
+        # are pure functions of the value's position among DISTINCT values
+        # (peers share a verdict), so they are deterministic under ties —
+        # unlike ntile, which splits peer groups by arbitrary position and
+        # can never be value-hashed. Exact rational doubles both engines.
+        from pyspark.sql import Window as W
+
+        o = _t(spark, sf, "orders")
+        w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        return o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+    q["q_percent_rank"] = q_percent_rank
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -1961,6 +2054,74 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN b ON e.event_type = b.event_type
         WHERE e.value < b.lo OR e.value > b.hi
         GROUP BY e.event_type
+    """
+
+    o["q_sample_weighted"] = """
+        WITH wm AS (SELECT max(n_chars) AS w_max FROM documents)
+        SELECT doc_id, n_chars,
+               substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS sample_key
+        FROM documents, wm
+        WHERE substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < lpad(lower(hex(least(
+                    CAST(floor(CAST(n_chars AS DOUBLE) / CAST(w_max AS DOUBLE)
+                               * 4294967296.0) AS BIGINT),
+                    4294967295))), 8, '0')
+    """
+
+    o["q_json_extract"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+               count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k
+        FROM events
+        GROUP BY event_type
+    """
+
+    o["q_zscore"] = """
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(sum(cents) AS BIGINT) AS s1,
+                   CAST(sum(cents * cents) AS BIGINT) AS s2,
+                   count(*) AS n
+            FROM c GROUP BY event_type
+        ),
+        b AS (
+            SELECT event_type,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd_c
+            FROM stats
+        )
+        SELECT c.event_id, c.event_type,
+               (CAST(c.cents AS DOUBLE) - b.mean_c) / b.sd_c AS z
+        FROM c JOIN b ON c.event_type = b.event_type
+    """
+
+    o["q_cooccurrence"] = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    """
+
+    o["q_percent_rank"] = """
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr,
+               cume_dist() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+        FROM orders
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -177,6 +177,8 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q5_region_volume", "dedup_cluster_stats", "streaming_enrich_counts",
         "text_line_dedup", "q_corpus_shuffle", "q_partition_prune",
         "q_rolling_window", "q_funnel", "q_table_diff", "q_outlier_iqr",
+        "q_sample_weighted", "q_json_extract", "q_zscore", "q_cooccurrence",
+        "q_percent_rank",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

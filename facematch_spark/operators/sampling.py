@@ -257,3 +257,55 @@ def leakage_safe_split(
     last = F.lit(names[-1])
     verdict = last if verdict is None else verdict.otherwise(last)
     return clusters.withColumn("split_key", key).withColumn("split", verdict)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Weight-proportional Bernoulli sample: each row is kept independently
+    with probability ``weight / max(weight)`` — the length-proportional
+    carve-out (sample long documents preferentially so a char-budgeted
+    subcorpus needs fewer rows) and the importance-weighted variant of the
+    md5-keyed sampling family.
+
+    Same determinism contract as ``stratified_sample``: membership is a
+    pure function of (salt, key, weight, w_max) — map-only verdicts after
+    one scalar-max broadcast, partition-invariant, reproducible, and
+    independent across salts. Monotone in weight at a fixed key: raising a
+    row's weight can only flip it OUT→IN (the threshold grows, the hash
+    doesn't move).
+
+    Exactness: rate = w/w_max is one correctly-rounded double division of
+    exact integers; ``rate * 2^32`` multiplies by a power of two (exponent
+    shift — exact); ``floor`` then hex-formatting are integer-exact. Any
+    ANSI engine reproduces the verdict bit-for-bit. A zero-weight row is
+    never kept; a max-weight row misses only the single hash 'ffffffff'
+    (the lpad cap — rate-1.0 strata in ``stratified_sample`` accept the
+    same 2^-32 haircut).
+    """
+    wmax = df.agg(F.max(weight_col).alias("_w_max"))
+    rate = F.col(weight_col).cast("double") / F.col("_w_max").cast("double")
+    threshold = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.floor(rate * F.lit(float(2**32))).cast("long"),
+                    F.lit(2**32 - 1),
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .withColumn("sample_key", key)
+        .filter(F.col("sample_key") < threshold)
+        .drop("_w_max")
+    )

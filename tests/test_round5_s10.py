@@ -194,3 +194,98 @@ def test_rolling_window_range_frame(spark):
     assert got[1] == 3 and got[2] == 3      # peers include each other
     assert got[3] == 1 + 2 + 3              # 30-day edge inclusive
     assert got[4] == 3 + 4                  # 01-01 rows aged out
+
+
+# ---- weighted_sample ----
+
+from facematch_spark.operators.sampling import weighted_sample
+
+
+def test_weighted_sample_zero_weight_never_kept(spark):
+    df = spark.createDataFrame(
+        [(i, 0 if i % 2 == 0 else 100) for i in range(200)],
+        "doc_id long, w long",
+    )
+    kept = weighted_sample(df, "w").collect()
+    assert kept, "some positive-weight rows must be kept"
+    assert all(r.w > 0 for r in kept)
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    # raising every weight (same keys, same salt) can only ADD rows
+    lo = spark.createDataFrame(
+        [(i, 10 + (i % 50)) for i in range(500)], "doc_id long, w long"
+    )
+    hi = lo.withColumn("w", F.col("w") + 40)
+    # keep w_max identical so per-row rates strictly grow: append one
+    # max-weight anchor row to both sides
+    anchor = spark.createDataFrame([(10_000, 100)], "doc_id long, w long")
+    lo, hi = lo.union(anchor), hi.union(anchor)
+    kept_lo = {r.doc_id for r in weighted_sample(lo, "w").collect()}
+    kept_hi = {r.doc_id for r in weighted_sample(hi, "w").collect()}
+    assert kept_lo <= kept_hi and len(kept_hi) > len(kept_lo)
+
+
+def test_weighted_sample_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, 1 + (i % 97)) for i in range(1000)], "doc_id long, w long"
+    )
+    a = {r.doc_id for r in weighted_sample(df.repartition(2), "w").collect()}
+    b = {r.doc_id for r in weighted_sample(df.repartition(16), "w").collect()}
+    assert a == b
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    # 10k rows at w=25 vs w=100: kept fraction ratio ~ 1/4 (loose bounds)
+    df = spark.createDataFrame(
+        [(i, 25 if i < 10000 else 100) for i in range(20000)],
+        "doc_id long, w long",
+    )
+    kept = weighted_sample(df, "w").groupBy("w").count().collect()
+    frac = {r.w: r["count"] / 10000 for r in kept}
+    assert 0.20 < frac[25] < 0.30
+    assert frac[100] > 0.99
+
+
+# ---- z-score sanity (moments from exact ints) ----
+
+def test_zscore_normalizes_per_group(spark):
+    import __spark_entry__ as E
+
+    out = (
+        E.queries()["q_zscore"](spark, "/root/testdata/sf0.001")
+        .groupBy("event_type")
+        .agg(F.avg("z").alias("m"), F.stddev_pop("z").alias("s"))
+        .collect()
+    )
+    for r in out:
+        assert abs(r.m) < 1e-9 and abs(r.s - 1.0) < 1e-9
+
+
+# ---- co-occurrence hand check ----
+
+def test_cooccurrence_counts_users_not_events(spark):
+    ut = spark.createDataFrame(
+        [
+            (1, "view"), (1, "view"), (1, "click"),   # u1: repeat views
+            (2, "view"), (2, "click"), (2, "click"),
+            (3, "view"),
+        ],
+        "user_id long, event_type string",
+    ).distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    got = {
+        (r.type_a, r.type_b): r.n
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {("click", "view"): 2}

@@ -1207,6 +1207,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_percent_rank"] = q_percent_rank
 
+    def q_zorder_layout(spark, sf):
+        # Z-order (Morton) clustering — the Delta/Iceberg ZORDER BY analog:
+        # interleave (user_id, props.k) bits into one key, carve contiguous
+        # key ranges into files via shard_plan, and emit each file's
+        # (x, y) bounding box — the zone-map footprint that proves scans on
+        # EITHER dimension prune. The footprint table IS the evidence: each
+        # shard covers a narrow rectangle, not a full-range stripe.
+        from facematch_spark.operators.layout import zorder_key
+        from facematch_spark.operators.shard import shard_plan
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            F.col("user_id").alias("x"),
+            F.get_json_object("props", "$.k").cast("long").alias("y"),
+        )
+        z = ev.withColumn("zkey", zorder_key(F.col("x"), F.col("y"))).withColumn(
+            "one", F.lit(1)
+        )
+        sharded = shard_plan(z, key=["zkey", "event_id"], bytes_col="one",
+                             target_bytes=1000)
+        return sharded.groupBy("shard_id").agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    q["q_zorder_layout"] = q_zorder_layout
+
+    def q_quantile_bins(spark, sf):
+        # equi-DEPTH histogram (quantile binning — the feature-bucketing /
+        # data-profiling complement of q_histogram's equi-width form): the
+        # 9 decile boundaries from one tiny agg, bin = #boundaries strictly
+        # below the value (identical interpolated boundaries both engines —
+        # percentile == quantile_cont bit-for-bit, see q_percentiles).
+        o = _t(spark, sf, "orders")
+        cuts = o.agg(
+            F.percentile(
+                "o_totalprice", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+            ).alias("bs")
+        )
+        binned = o.crossJoin(F.broadcast(cuts)).select(
+            F.size(
+                F.filter("bs", lambda b: F.col("o_totalprice") > b)
+            ).cast("long").alias("bin"),
+            "o_totalprice",
+        )
+        return binned.groupBy("bin").agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    q["q_quantile_bins"] = q_quantile_bins
+
+    def q_events_sliding(spark, sf):
+        # OVERLAPPING (sliding) event-time windows — 2h span, 1h slide:
+        # every event lands in exactly two windows. q_events_hourly covers
+        # the tumbling case; this is the built-in window() in its sliding
+        # form (map-side window assignment — no self-join against a window
+        # dimension), the load-smoothing aggregation dashboards run.
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "win_start"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+    q["q_events_sliding"] = q_events_sliding
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -2122,6 +2196,60 @@ def oracle_sql() -> dict[str, str]:
                cume_dist() OVER (
                    PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
         FROM orders
+    """
+
+    from facematch_spark.operators.layout import zorder_sql_expr
+
+    o["q_zorder_layout"] = f"""
+        WITH pts AS (
+            SELECT event_id, user_id AS x,
+                   CAST(props->>'$.k' AS BIGINT) AS y
+            FROM events
+        ),
+        keyed AS (
+            SELECT event_id, x, y, {zorder_sql_expr('x', 'y')} AS zkey
+            FROM pts
+        ),
+        ranked AS (
+            SELECT x, y,
+                   row_number() OVER (ORDER BY zkey, event_id) AS rn
+            FROM keyed
+        )
+        SELECT CAST((rn - 1) // 1000 AS BIGINT) AS shard_id,
+               count(*) AS n_rows,
+               min(x) AS x_min, max(x) AS x_max,
+               min(y) AS y_min, max(y) AS y_max
+        FROM ranked
+        GROUP BY 1
+    """
+
+    o["q_quantile_bins"] = """
+        WITH cuts AS (
+            SELECT quantile_cont(o_totalprice,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+            FROM orders
+        ),
+        binned AS (
+            SELECT CAST(len(list_filter(bs, b -> o_totalprice > b)) AS BIGINT)
+                       AS bin,
+                   o_totalprice
+            FROM orders, cuts
+        )
+        SELECT bin, count(*) AS n,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM binned GROUP BY bin
+    """
+
+    o["q_events_sliding"] = """
+        WITH starts AS (
+            SELECT event_type,
+                   unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+            FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, count(*) AS n_events
+        FROM starts GROUP BY 1, 2
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -1281,6 +1281,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_events_sliding"] = q_events_sliding
 
+    def q4_order_priority(spark, sf):
+        # TPC-H Q4 shape: correlated EXISTS with an inequality against the
+        # OUTER column (late-shipping lineitem for the order) — Catalyst
+        # decorrelates it to a left-semi join on l_orderkey with the
+        # residual l_shipdate > o_orderdate + 90d as the join condition.
+        # Declared AS the subquery (spark.sql) so the decorrelation is the
+        # optimizer's, not hand-lowered.
+        o = _t(spark, sf, "orders")
+        l = _t(spark, sf, "lineitem")
+        o.createOrReplaceTempView("_q4_orders")
+        l.createOrReplaceTempView("_q4_lineitem")
+        return spark.sql("""
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM _q4_orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM _q4_lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY o_orderpriority
+        """)
+    q["q4_order_priority"] = q4_order_priority
+
+    def q_gapfill_hours(spark, sf):
+        # time-series gap filling: the hourly count per event_type over the
+        # FULL [min, max] hour span with missing (hour, type) cells as
+        # explicit zeros — the densification every dashboard/forecast
+        # ingest needs. The grid is sequence(min,max,1h) × distinct types:
+        # both sides tiny aggregates, so the grid build is broadcast-scale
+        # no matter how large the fact table; the one wide shuffle is the
+        # counts groupBy.
+        ev = _t(spark, sf, "events").select(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        counts = ev.groupBy("h", "event_type").agg(
+            F.count("*").alias("n_events")
+        )
+        hours = (
+            ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+            .select(
+                F.explode(
+                    F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+                ).alias("h")
+            )
+        )
+        grid = hours.crossJoin(F.broadcast(ev.select("event_type").distinct()))
+        return grid.join(counts, ["h", "event_type"], "left").select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    q["q_gapfill_hours"] = q_gapfill_hours
+
+    def dedup_snm(spark, sf):
+        # sorted-neighborhood dedup (Hernandez & Stolfo SIGMOD'95): rank
+        # once on a normalized prefix key via the distributed prefix sum,
+        # compare each doc with its 4 successors, verify candidates with
+        # the SAME exact char-9-gram Jaccard tier as the PPJoin path —
+        # the cheap-blocking member of the candidate-generator family
+        # (window-local misses are the method's documented trade).
+        from facematch_spark.operators.blocking import snm_pairs
+
+        return snm_pairs(_t(spark, sf, "documents"), K, JT, window=5)
+    q["dedup_snm"] = dedup_snm
+
+    def dedup_edit_distance(spark, sf):
+        # relative edit-distance near-dups (d <= 0.2·max_len) via lossless
+        # length-band blocking (|len_a-len_b| <= d bounds band skew to ±1)
+        # + same-language blocks; levenshtein runs as one JVM expression
+        # on the banded join.
+        from facematch_spark.operators.blocking import edit_distance_pairs
+
+        return edit_distance_pairs(_t(spark, sf, "documents"))
+    q["dedup_edit_distance"] = dedup_edit_distance
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -2250,6 +2327,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
                event_type, count(*) AS n_events
         FROM starts GROUP BY 1, 2
+    """
+
+    o["q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+    """
+
+    o["q_gapfill_hours"] = """
+        WITH ev AS (
+            SELECT date_trunc('hour', ts) AS h, event_type FROM events
+        ),
+        bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ),
+        counts AS (
+            SELECT h, event_type, count(*) AS n FROM ev GROUP BY 1, 2
+        )
+        SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+               g.event_type,
+               COALESCE(c.n, 0) AS n_events
+        FROM (SELECT h, event_type
+              FROM hours, (SELECT DISTINCT event_type FROM ev)) g
+        LEFT JOIN counts c ON c.h = g.h AND c.event_type = g.event_type
+    """
+
+    # SNM: rank on the normalized 12-char prefix key (DuckDB regexp_replace
+    # needs the explicit 'g' flag — Spark replaces all matches by default),
+    # window-4 successors, verified against the shared exact-Jaccard CTE.
+    o["dedup_snm"] = f"""
+        WITH snmdocs AS (
+            SELECT doc_id, text FROM documents WHERE length(text) >= {K}
+        ),
+        {_shingles_cte('snmdocs')},
+        keyed AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                          1, 12) AS skey
+            FROM snmdocs
+        ),
+        ranked AS (
+            SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS rn
+            FROM keyed
+        ),
+        cand AS (
+            SELECT least(a.doc_id, b.doc_id) AS id_a,
+                   greatest(a.doc_id, b.doc_id) AS id_b
+            FROM ranked a JOIN ranked b
+              ON b.rn > a.rn AND b.rn <= a.rn + 4
+        )
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+        WHERE j.jaccard >= {JT}
+    """
+
+    o["dedup_edit_distance"] = """
+        WITH d AS (
+            SELECT doc_id, text, lang,
+                   CAST(length(text) AS BIGINT) AS len,
+                   length(text) // 128 AS band
+            FROM documents WHERE length(text) <= 640
+        ),
+        scored AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+                   greatest(a.len, b.len) AS ml
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.band - b.band) <= 1
+        )
+        SELECT id_a, id_b, dist,
+               CAST(1.0 AS DOUBLE) - (dist / ml) AS sim
+        FROM scored WHERE dist * 5 <= ml
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -179,6 +179,8 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q_rolling_window", "q_funnel", "q_table_diff", "q_outlier_iqr",
         "q_sample_weighted", "q_json_extract", "q_zscore", "q_cooccurrence",
         "q_percent_rank",
+        "q_quantile_bins", "q_events_sliding", "q_zorder_layout",
+        "q4_order_priority", "q_gapfill_hours", "dedup_snm", "dedup_edit_distance",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

@@ -112,3 +112,102 @@ def test_events_sliding_double_counts_each_event(spark):
     got = out.agg(F.sum("n_events").alias("s")).collect()[0].s
     # 2h window, 1h slide: every event lands in exactly two windows
     assert got == 2 * n_events
+
+
+# ---- blocking family: SNM + length-band edit distance ----
+
+def test_edit_distance_banding_is_lossless(spark):
+    # the blocking theorem: band-adjacency must find EVERY pair with
+    # d <= 0.2*max_len — compare against the unblocked all-pairs scan on a
+    # corpus engineered to cross band boundaries (lengths straddle k*128).
+    import random
+
+    from facematch_spark.operators.blocking import edit_distance_pairs
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdef ") for _ in range(400))
+    rows = []
+    for i in range(40):
+        # mutate 0..120 chars off the base: some pairs within threshold,
+        # some out; lengths drift across the 128-band boundary
+        s = list(base)
+        for _ in range(rng.randrange(0, 120)):
+            s[rng.randrange(len(s))] = rng.choice("abcdef ")
+        txt = "".join(s) + "x" * rng.randrange(0, 60)
+        rows.append((i, txt, "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df).select("id_a", "id_b").collect()
+    }
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    a, b = df.alias("a"), df.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).cast("long").alias("d"),
+            F.greatest(
+                F.length(F.col("a.text")), F.length(F.col("b.text"))
+            ).cast("long").alias("ml"),
+        )
+        .filter(F.col("d") * 5 <= F.col("ml"))
+    )
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_snm_candidates_window_bound(spark):
+    from facematch_spark.operators.blocking import snm_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = 5
+    cands = snm_candidates(docs, window=w)
+    n_docs = docs.count()
+    n_cands = cands.count()
+    # exactly (w-1) successors per rank, minus the truncated tail
+    assert n_cands == (n_docs - w + 1) * (w - 1) + sum(range(w - 1))
+    # per-doc degree bound: each doc meets at most 2*(w-1) others
+    deg = (
+        cands.selectExpr("id_a AS d").union(cands.selectExpr("id_b AS d"))
+        .groupBy("d").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert deg <= 2 * (w - 1)
+
+
+def test_snm_rank_is_partition_invariant(spark):
+    from facematch_spark.operators.blocking import snm_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r.id_a, r.id_b) for r in snm_candidates(docs.repartition(2)).collect()}
+    b = {(r.id_a, r.id_b) for r in snm_candidates(docs.repartition(16)).collect()}
+    assert a == b
+
+
+def test_q4_decorrelates_to_semi_join(spark):
+    import __spark_entry__ as E
+
+    plan = E.queries()["q4_order_priority"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_gapfill_dense_and_sum_preserving(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["q_gapfill_hours"](spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_types = ev.select("event_type").distinct().count()
+    hours = out.select("hour").distinct().count()
+    assert out.count() == hours * n_types          # dense grid
+    s = out.agg(F.sum("n_events")).collect()[0][0]
+    assert s == ev.count()                          # nothing lost
+    assert out.filter(F.col("n_events") == 0).count() > 0  # zeros explicit

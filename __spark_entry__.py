@@ -1358,6 +1358,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return edit_distance_pairs(_t(spark, sf, "documents"))
     q["dedup_edit_distance"] = dedup_edit_distance
 
+    def q_triangle_count(spark, sf):
+        # per-vertex triangle counts on the part co-purchase graph via
+        # degree-ordering orientation (Schank & Wagner '05 / Suri &
+        # Vassilvitskii WWW'11): the (degree, id) total order caps the
+        # oriented out-degree at O(sqrt m), so the wedge self-join is
+        # hub-skew-proof and each triangle closes exactly once.
+        from facematch_spark.operators.graph import (
+            copurchase_edges,
+            local_triangle_counts,
+        )
+
+        return local_triangle_counts(copurchase_edges(_t(spark, sf, "lineitem")))
+    q["q_triangle_count"] = q_triangle_count
+
+    def q_pagerank(spark, sf):
+        # 3-round PageRank over the co-purchase graph in integer
+        # micro-units with explicit floor division each step — the
+        # quantization makes an ITERATIVE algorithm bit-exact in any
+        # engine, so the oracle is a real value-hashed unrolled-CTE twin
+        # instead of the weaker rows-only check.
+        from facematch_spark.operators.graph import copurchase_edges, pagerank_int
+
+        return pagerank_int(copurchase_edges(_t(spark, sf, "lineitem")), iterations=3)
+    q["q_pagerank"] = q_pagerank
+
+    def q_retention_cohorts(spark, sf):
+        # cohort retention matrix: users grouped by first-seen day, counted
+        # once per (cohort, days-since-cohort) period they returned in.
+        # Both shuffles key on user_id (first-seen agg + the join back);
+        # the matrix itself is bounded by days², not corpus size.
+        ev = _t(spark, sf, "events").select(
+            "user_id", F.date_trunc("DAY", "ts").alias("day")
+        )
+        firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+        r = (
+            ev.join(firsts, "user_id")
+            .select(
+                "user_id",
+                "cohort",
+                F.datediff(F.col("day"), F.col("cohort")).cast("long").alias("period"),
+            )
+            .distinct()
+        )
+        return r.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"), "period"
+        ).agg(F.count("*").alias("n_users"))
+    q["q_retention_cohorts"] = q_retention_cohorts
+
+    def q_markov_transitions(spark, sf):
+        # event-type transition counts + probabilities per user journey:
+        # lead() over (ts, event_id) — event_id breaks timestamp ties so
+        # the successor is a total-order function of the data. One shuffle
+        # on user_id, one tiny groupBy; p = n / row-total is a SINGLE
+        # integer division (correctly rounded, engine-independent), never
+        # a float accumulation.
+        from pyspark.sql import Window as W
+
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        ).filter(F.col("dst_type").isNotNull())
+        counts = seq.groupBy("src_type", "dst_type").agg(
+            F.count("*").alias("n_transitions")
+        )
+        totals = W.partitionBy("src_type")
+        return counts.select(
+            "src_type",
+            "dst_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(totals)
+            ).alias("p_transition"),
+        )
+    q["q_markov_transitions"] = q_markov_transitions
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -2409,6 +2487,105 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, dist,
                CAST(1.0 AS DOUBLE) - (dist / ml) AS sim
         FROM scored WHERE dist * 5 <= ml
+    """
+
+    # co-purchase graph CTEs shared by the two graph oracles.
+    _graph_ctes = """
+        ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM ip a JOIN ip b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        ed AS (
+            SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (SELECT src AS p, count(*) AS d FROM ed GROUP BY 1)
+    """
+
+    o["q_triangle_count"] = f"""
+        WITH {_graph_ctes},
+        oriented AS (
+            SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS src,
+                   CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.v ELSE e.u END AS dst
+            FROM edges e
+            JOIN deg du ON du.p = e.u
+            JOIN deg dv ON dv.p = e.v
+        ),
+        tri AS (
+            SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+            FROM oriented o1
+            JOIN oriented o2 ON o1.src = o2.src AND o1.dst <> o2.dst
+            JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+        ),
+        verts AS (
+            SELECT a AS part_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT part_id, count(*) AS n_triangles FROM verts GROUP BY 1
+    """
+
+    # PageRank unrolled to 3 rounds: integer micro-units, floor division at
+    # every step (// in DuckDB == div in Spark for positive BIGINTs), so
+    # the iterative result is bit-exact across engines.
+    _pr_round = """
+        {out} AS (
+            SELECT e.dst AS p,
+                   CAST(150000 + (85 * sum({prev}.pr // deg.d)) // 100 AS BIGINT) AS pr
+            FROM ed e
+            JOIN {prev} ON {prev}.p = e.src
+            JOIN deg ON deg.p = e.src
+            GROUP BY e.dst
+        )
+    """
+    o["q_pagerank"] = f"""
+        WITH {_graph_ctes},
+        pr0 AS (SELECT p, CAST(1000000 AS BIGINT) AS pr FROM deg),
+        {_pr_round.format(out="pr1", prev="pr0")},
+        {_pr_round.format(out="pr2", prev="pr1")},
+        {_pr_round.format(out="pr3", prev="pr2")}
+        SELECT p AS part_id, pr AS pr_micro FROM pr3
+    """
+
+    o["q_retention_cohorts"] = """
+        WITH ev AS (
+            SELECT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        firsts AS (
+            SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1
+        ),
+        r AS (
+            SELECT DISTINCT e.user_id, f.cohort,
+                   CAST(date_diff('day', f.cohort, e.day) AS BIGINT) AS period
+            FROM ev e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, period,
+               count(*) AS n_users
+        FROM r GROUP BY 1, 2
+    """
+
+    o["q_markov_transitions"] = """
+        WITH seq AS (
+            SELECT event_type AS src_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dst_type
+            FROM events
+        ),
+        counts AS (
+            SELECT src_type, dst_type, count(*) AS n_transitions
+            FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src_type, dst_type, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                   / sum(n_transitions) OVER (PARTITION BY src_type)
+                   AS p_transition
+        FROM counts
     """
 
     o["q_sample_fixed_n"] = f"""

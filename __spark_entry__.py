@@ -1436,6 +1436,148 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_markov_transitions"] = q_markov_transitions
 
+    def q_skyline(spark, sf):
+        # 2-D Pareto frontier (min price, max size) via ONE distributed
+        # prefix scan (generalized shard_plan two-pass — operators/scan.py)
+        # instead of the O(N²) dominance join; the DuckDB oracle
+        # deliberately IS the NOT-EXISTS dominance form, so two independent
+        # formulations must agree. Prices are only compared, never summed —
+        # float-safe across engines.
+        from facematch_spark.operators.scan import skyline_2d
+
+        return skyline_2d(
+            _t(spark, sf, "part").select("p_partkey", "p_retailprice", "p_size"),
+            minimize_col="p_retailprice",
+            maximize_col="p_size",
+        )
+    q["q_skyline"] = q_skyline
+
+    def q_expectations(spark, sf):
+        # Deequ/Great-Expectations-style data-quality report: six checks in
+        # ONE scan (the five column checks share a single aggregate row,
+        # unpivoted like q_profile) plus one left-anti FK probe; the
+        # fixture makes both verdicts live (price-range and date-horizon
+        # checks fail, the rest pass).
+        o = _t(spark, sf, "orders")
+        agg = o.agg(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long").alias("orderkey_not_null"),
+            (F.count("*") - F.countDistinct("o_orderkey"))
+            .cast("long").alias("orderkey_unique"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 200000), 1
+                ).otherwise(0)
+            ).cast("long").alias("totalprice_in_range"),
+            F.sum(
+                F.when(F.expr("o_orderdate >= TIMESTAMP '2000-01-01'"), 1).otherwise(0)
+            ).cast("long").alias("orderdate_before_2000"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderpriority").isin(
+                        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("priority_known"),
+        )
+        col_checks = agg.selectExpr(
+            "stack(5, "
+            "'orderkey_not_null', orderkey_not_null, "
+            "'orderkey_unique', orderkey_unique, "
+            "'totalprice_in_range', totalprice_in_range, "
+            "'orderdate_before_2000', orderdate_before_2000, "
+            "'priority_known', priority_known) AS (check_name, n_violations)"
+        )
+        fk = (
+            o.join(
+                _t(spark, sf, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("n_violations"))
+            .select(F.lit("custkey_fk_customer").alias("check_name"), "n_violations")
+        )
+        return col_checks.unionByName(fk).select(
+            "check_name", "n_violations", (F.col("n_violations") == 0).alias("passed")
+        )
+    q["q_expectations"] = q_expectations
+
+    def q_incremental_agg(spark, sf):
+        # incremental aggregate maintenance: per-priority (count, sum, min,
+        # max) states computed separately for the historical slice and the
+        # new-arrivals slice, then MERGED state-to-state — the base slice
+        # is never rescanned when a delta lands. The oracle recomputes from
+        # the full table, so equality IS the maintenance-correctness proof.
+        # Money in integer cents (exact under any accumulation order).
+        o = _t(spark, sf, "orders").select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            "o_orderdate",
+        )
+
+        def state(df):
+            return df.groupBy("o_orderpriority").agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+
+        base = state(o.filter(F.expr("o_orderdate < TIMESTAMP '1998-01-01'")))
+        delta = state(o.filter(F.expr("o_orderdate >= TIMESTAMP '1998-01-01'")))
+        return (
+            base.unionByName(delta)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.min("min_cents").alias("min_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        )
+    q["q_incremental_agg"] = q_incremental_agg
+
+    def q_mode_per_group(spark, sf):
+        # deterministic mode: each user's most frequent event type, ties
+        # broken to the lexicographically smallest type (total order, so
+        # the answer is a function of the data — plain mode() is not).
+        # row_number under a rank<=1 filter plans as WindowGroupLimit: the
+        # per-user sort never materializes whole partitions.
+        from pyspark.sql import Window as W
+
+        counts = (
+            _t(spark, sf, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        return (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    q["q_mode_per_group"] = q_mode_per_group
+
+    def q_except_all(spark, sf):
+        # multiset difference with duplicate accounting: per-(user, type)
+        # event instances in the first half of the month EXCEPT ALL those
+        # in the second half — each late occurrence cancels exactly one
+        # early occurrence (set EXCEPT would erase the multiplicity).
+        # Spark's exceptAll lowers to a replicate-by-count-difference plan,
+        # no join explosion; grouped afterwards to a bounded report.
+        ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+        a = ev.filter(F.expr("ts < TIMESTAMP '2024-01-16'")).drop("ts")
+        b = ev.filter(F.expr("ts >= TIMESTAMP '2024-01-16'")).drop("ts")
+        return (
+            a.exceptAll(b)
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n_remaining"))
+        )
+    q["q_except_all"] = q_except_all
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -2586,6 +2728,96 @@ def oracle_sql() -> dict[str, str]:
                    / sum(n_transitions) OVER (PARTITION BY src_type)
                    AS p_transition
         FROM counts
+    """
+
+    # Skyline oracle: the O(N²) NOT-EXISTS dominance definition — an
+    # INDEPENDENT formulation of the frontier, not a mirror of the
+    # prefix-scan reduction the Spark side uses.
+    o["q_skyline"] = """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part o
+            WHERE o.p_retailprice <= m.p_retailprice
+              AND o.p_size >= m.p_size
+              AND (o.p_retailprice < m.p_retailprice OR o.p_size > m.p_size)
+        )
+    """
+
+    o["q_expectations"] = """
+        WITH checks AS (
+            SELECT 'orderkey_not_null' AS check_name,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'orderkey_unique',
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'totalprice_in_range',
+                   CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 200000
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'orderdate_before_2000',
+                   CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'priority_known',
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                            ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'custkey_fk_customer',
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        )
+        SELECT check_name, n_violations, n_violations = 0 AS passed FROM checks
+    """
+
+    o["q_incremental_agg"] = """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS min_cents,
+               max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS max_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """
+
+    o["q_mode_per_group"] = """
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT user_id, event_type, n_events,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY n_events DESC, event_type ASC
+                   ) AS rn
+            FROM counts
+        )
+        SELECT user_id, event_type, n_events FROM ranked WHERE rn = 1
+    """
+
+    o["q_except_all"] = """
+        WITH a AS (
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-16'
+        ),
+        b AS (
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'
+        ),
+        ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        SELECT user_id, event_type, count(*) AS n_remaining
+        FROM ex GROUP BY 1, 2
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -182,6 +182,8 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q_quantile_bins", "q_events_sliding", "q_zorder_layout",
         "q4_order_priority", "q_gapfill_hours", "dedup_snm", "dedup_edit_distance",
         "q_triangle_count", "q_pagerank", "q_retention_cohorts", "q_markov_transitions",
+        "q_skyline", "q_expectations", "q_incremental_agg", "q_mode_per_group",
+        "q_except_all",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

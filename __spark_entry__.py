@@ -1578,6 +1578,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_except_all"] = q_except_all
 
+    def q17_small_qty_revenue(spark, sf):
+        # TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+        # threshold) left to Catalyst — it decorrelates to an aggregate +
+        # join, never a per-row re-scan. Quantities are integral doubles
+        # (1..50), so per-part sums/avg are EXACT and 0.2·avg is the same
+        # IEEE double in any engine; revenue reported in integer cents
+        # per brand.
+        _t(spark, sf, "lineitem").createOrReplaceTempView("_q17_l")
+        _t(spark, sf, "part").createOrReplaceTempView("_q17_p")
+        return spark.sql("""
+            SELECT p.p_brand,
+                   count(*) AS n_small,
+                   sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                       AS revenue_cents
+            FROM _q17_l l JOIN _q17_p p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity)
+                FROM _q17_l l2 WHERE l2.l_partkey = l.l_partkey
+            )
+            GROUP BY p.p_brand
+        """)
+    q["q17_small_qty_revenue"] = q17_small_qty_revenue
+
+    def q13_order_count_dist(spark, sf):
+        # TPC-H Q13 shape: customer × filtered-orders LEFT join, count per
+        # customer, then the distribution of those counts — the zero
+        # bucket exists only because the join is OUTER (filtering to
+        # urgent orders leaves some customers with none).
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        per_cust = (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+    q["q13_order_count_dist"] = q13_order_count_dist
+
+    def q_sketch_merge(spark, sf):
+        # mergeable-sketch proof: per-(priority, order-year) KMV states
+        # (k smallest distinct hashes — k·8 bytes per shard) merged by
+        # union + re-rank into the per-priority estimate. The oracle
+        # computes the DIRECT unsharded KMV, so hash-green IS the
+        # mergeability proof (the global k-minima all survive their own
+        # shard's state).
+        from facematch_spark.operators.sketch import kmv_distinct_sharded
+
+        o = _t(spark, sf, "orders").withColumn("_yr", F.year("o_orderdate"))
+        return kmv_distinct_sharded(
+            o, group_col="o_orderpriority", value_col="o_custkey",
+            shard_col="_yr", k=64,
+        ).withColumnRenamed("grp", "priority")
+    q["q_sketch_merge"] = q_sketch_merge
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -2818,6 +2874,49 @@ def oracle_sql() -> dict[str, str]:
         ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
         SELECT user_id, event_type, count(*) AS n_remaining
         FROM ex GROUP BY 1, 2
+    """
+
+    o["q17_small_qty_revenue"] = """
+        SELECT p.p_brand,
+               count(*) AS n_small,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p.p_brand
+    """
+
+    o["q13_order_count_dist"] = """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS n_custs FROM per_cust GROUP BY c_count
+    """
+
+    # Direct (unsharded) KMV — deliberately NOT the shard-merge form the
+    # Spark side runs: agreement proves state mergeability.
+    o["q_sketch_merge"] = """
+        WITH hv AS (
+            SELECT DISTINCT o_orderpriority AS priority,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+            FROM orders
+        ),
+        ranked AS (
+            SELECT priority, hv,
+                   row_number() OVER (PARTITION BY priority ORDER BY hv) AS rn
+            FROM hv
+        )
+        SELECT priority,
+               round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                          ELSE 63.0 * 4294967296.0 / max(hv) END, 2) AS est_distinct
+        FROM ranked WHERE rn <= 64 GROUP BY priority
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -184,6 +184,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q_triangle_count", "q_pagerank", "q_retention_cohorts", "q_markov_transitions",
         "q_skyline", "q_expectations", "q_incremental_agg", "q_mode_per_group",
         "q_except_all",
+        "q17_small_qty_revenue", "q13_order_count_dist", "q_sketch_merge",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

@@ -125,3 +125,40 @@ def kmv_distinct(
         k,
     )
     return est_ok.unionByName(est_rerun)
+
+
+def kmv_distinct_sharded(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    shard_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV estimate computed via MERGEABLE per-shard states —
+    the property that makes a sketch useful at all at scale: each shard
+    (partition, day, ingest batch) keeps only its k smallest distinct
+    hashes (k·8 bytes of state), and states union+re-rank into the global
+    sketch without ever revisiting shard data.
+
+    Losslessness of the merge: every one of the global k smallest distinct
+    hashes is ≤ the k-th smallest within its own shard, hence present in
+    that shard's state — so re-ranking the unioned states recovers the
+    EXACT global k-minimum set, and the merged estimate equals
+    ``kmv_distinct`` over the unsharded input bit-for-bit. The DuckDB
+    oracle computes the DIRECT unsharded form, so the value hash is the
+    mergeability proof.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(shard_col).alias("_shard"),
+        _hv(value_col).alias("hv"),
+    ).dropDuplicates(["grp", "_shard", "hv"])
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("grp", "_shard").orderBy("hv")
+    states = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("grp", "hv")
+    )
+    return _kmv_estimate(states.dropDuplicates(["grp", "hv"]), k)

@@ -1634,6 +1634,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("grp", "priority")
     q["q_sketch_merge"] = q_sketch_merge
 
+    def q_pareto_revenue(spark, sf):
+        # Pareto (80/20) concentration report: parts in descending revenue
+        # order with the exact running total and a head flag — via the
+        # DISTRIBUTED prefix SUM (scan.py), never a global single-task
+        # window. Descending order is the negated key; (−rev, partkey) is
+        # unique so the scan is well-defined. The head rule is the
+        # "first byte" convention shard_plan uses: a part is in the top-80
+        # head iff its revenue STARTS before the 80% line — in integers,
+        # exclusive_cum · 10 < total · 8 (no float thresholds anywhere).
+        from facematch_spark.operators.scan import prefix_agg
+
+        rev = (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                ).alias("revenue_cents")
+            )
+            .withColumn("_negrev", -F.col("revenue_cents"))
+        )
+        scanned = prefix_agg(
+            rev, key=["_negrev", "l_partkey"], value_col="revenue_cents",
+            agg="sum", out_col="_excl_cum",
+        )
+        total = rev.agg(F.sum("revenue_cents").alias("_total"))
+        return (
+            scanned.crossJoin(F.broadcast(total))
+            .select(
+                F.col("l_partkey").alias("part_id"),
+                "revenue_cents",
+                (F.coalesce(F.col("_excl_cum"), F.lit(0)) + F.col("revenue_cents"))
+                .alias("cum_cents"),
+                (
+                    F.coalesce(F.col("_excl_cum"), F.lit(0)) * 10
+                    < F.col("_total") * 8
+                ).alias("in_top80"),
+            )
+        )
+    q["q_pareto_revenue"] = q_pareto_revenue
+
+    def q_anomaly_mad(spark, sf):
+        # robust outlier screen: median absolute deviation per priority
+        # (MAD tolerates the heavy tail that wrecks the z-score screen —
+        # the IQR entry's sibling). Exact medians both passes: Spark
+        # `percentile` is bit-equal to DuckDB `quantile_cont` (probed at
+        # the percentiles entry); |x−med| > 3·mad is single-op double
+        # arithmetic on identical inputs, so the verdict is
+        # engine-independent. Two scans by necessity (MAD is not
+        # one-pass); both aggregates shuffle only |groups| rows.
+        o = _t(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+        med = o.groupBy("o_orderpriority").agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("med")
+        )
+        dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+            "_dev", F.abs(F.col("o_totalprice") - F.col("med"))
+        )
+        stats = dev.groupBy("o_orderpriority").agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(_dev, 0.5)").alias("mad"),
+        )
+        return (
+            dev.drop("med")
+            .join(F.broadcast(stats), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.first("med").alias("med"),
+                F.first("mad").alias("mad"),
+                F.sum(
+                    F.when(F.col("_dev") > 3 * F.col("mad"), 1).otherwise(0)
+                ).cast("long").alias("n_outliers"),
+            )
+        )
+    q["q_anomaly_mad"] = q_anomaly_mad
+
+    def q_array_hof(spark, sf):
+        # higher-order array functions entirely inside codegen: tokenize,
+        # transform(lower), filter(len>3), aggregate(sum of lengths) — no
+        # explode/shuffle, no Python. The len>3 filter also erases any
+        # split() empty-string edge, keeping the DuckDB list_* twin exact.
+        d = _t(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        longs = F.filter(
+            F.transform(toks, lambda t: F.lower(t)),
+            lambda t: F.length(t) > 3,
+        )
+        return d.select(
+            "doc_id",
+            F.size(longs).cast("long").alias("n_long_tokens"),
+            F.aggregate(
+                longs, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).alias("chars_long_tokens"),
+        )
+    q["q_array_hof"] = q_array_hof
+
+    def q_merge_join_stats(spark, sf):
+        # explicit sort-merge join: the fact-fact strategy when BOTH sides
+        # are too big to broadcast or hash (spill-safe — sort runs off-heap
+        # and merges stream). MERGE hint + plan assertion completes the
+        # join-strategy family (broadcast q3 / shuffle-hash verify / salted
+        # q_salted_join / bucketed zero-exchange q_bucketed_join / SMJ
+        # here). Money in integer cents as everywhere.
+        l = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders").hint("merge")
+        return (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus", "l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                ).alias("sum_cents"),
+            )
+        )
+    q["q_merge_join_stats"] = q_merge_join_stats
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -2917,6 +3033,75 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
                           ELSE 63.0 * 4294967296.0 / max(hv) END, 2) AS est_distinct
         FROM ranked WHERE rn <= 64 GROUP BY priority
+    """
+
+    o["q_pareto_revenue"] = """
+        WITH rev AS (
+            SELECT l_partkey AS part_id,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem GROUP BY 1
+        ),
+        scanned AS (
+            SELECT part_id, revenue_cents,
+                   CAST(sum(revenue_cents) OVER (
+                       ORDER BY revenue_cents DESC, part_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_cents,
+                   CAST(sum(revenue_cents) OVER () AS BIGINT) AS total
+            FROM rev
+        )
+        SELECT part_id, revenue_cents, cum_cents,
+               (cum_cents - revenue_cents) * 10 < total * 8 AS in_top80
+        FROM scanned
+    """
+
+    o["q_anomaly_mad"] = """
+        WITH med AS (
+            SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+            FROM orders GROUP BY 1
+        ),
+        dev AS (
+            SELECT o.o_orderpriority, m.med,
+                   abs(o.o_totalprice - m.med) AS d
+            FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+        ),
+        stats AS (
+            SELECT o_orderpriority, any_value(med) AS med,
+                   quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT d.o_orderpriority, any_value(s.med) AS med,
+               any_value(s.mad) AS mad,
+               CAST(sum(CASE WHEN d.d > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM dev d JOIN stats s ON s.o_orderpriority = d.o_orderpriority
+        GROUP BY d.o_orderpriority
+    """
+
+    o["q_array_hof"] = """
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   list_transform(string_split(text, ' '), t -> lower(t)),
+                   t -> length(t) > 3
+               )) AS BIGINT) AS n_long_tokens,
+               CAST(coalesce(list_sum(list_transform(
+                   list_filter(
+                       list_transform(string_split(text, ' '), t -> lower(t)),
+                       t -> length(t) > 3
+                   ),
+                   t -> length(t)
+               )), 0) AS BIGINT) AS chars_long_tokens
+        FROM documents
+    """
+
+    o["q_merge_join_stats"] = """
+        SELECT o.o_orderstatus, l.l_returnflag,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
     """
 
     o["q_sample_fixed_n"] = f"""

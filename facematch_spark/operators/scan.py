@@ -46,19 +46,22 @@ _AGGS = {
 
 def prefix_agg(
     rows: DataFrame,
-    key: str,
+    key: str | list[str],
     value_col: str,
     agg: str = "max",
     out_col: str = "prefix",
 ) -> DataFrame:
     """All input columns + ``out_col`` = the EXCLUSIVE running ``agg`` of
     ``value_col`` over ascending ``key`` order (NULL for the global first
-    row — no preceding values). ``key`` values must be unique."""
+    row — no preceding values). ``key`` (one column or a composite, all
+    ascending) must be unique as a tuple. Descending orders are expressed
+    by negating the key column (cf. ``q_pareto_revenue``)."""
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {sorted(_AGGS)}")
     agg_fn, combine = _AGGS[agg]
+    keys = [key] if isinstance(key, str) else list(key)
 
-    parted = rows.repartitionByRange(key)
+    parted = rows.repartitionByRange(*keys)
     # Pin the pid draw once — totals and pass 2 both consume it (house rule).
     with_pid = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
 
@@ -66,7 +69,7 @@ def prefix_agg(
     w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select("_pid", agg_fn("_ptot").over(w_off).alias("_offset"))
 
-    w_local = W.partitionBy("_pid").orderBy(key).rowsBetween(W.unboundedPreceding, -1)
+    w_local = W.partitionBy("_pid").orderBy(*keys).rowsBetween(W.unboundedPreceding, -1)
     local: Column = agg_fn(value_col).over(w_local)
     return (
         with_pid.join(F.broadcast(offsets), "_pid")

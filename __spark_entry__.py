@@ -1317,18 +1317,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events").select(
             F.date_trunc("hour", "ts").alias("h"), "event_type"
         )
-        counts = ev.groupBy("h", "event_type").agg(
-            F.count("*").alias("n_events")
+        # the fact table is scanned ONCE (into the groupBy); bounds and the
+        # type list derive from the aggregated counts relation, which is
+        # tiny (hours × types) — pinned once for its three consumers.
+        counts = (
+            ev.groupBy("h", "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .localCheckpoint()
         )
         hours = (
-            ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+            counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
             .select(
                 F.explode(
                     F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
                 ).alias("h")
             )
         )
-        grid = hours.crossJoin(F.broadcast(ev.select("event_type").distinct()))
+        grid = hours.crossJoin(F.broadcast(counts.select("event_type").distinct()))
         return grid.join(counts, ["h", "event_type"], "left").select(
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",
@@ -1388,12 +1393,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # once per (cohort, days-since-cohort) period they returned in.
         # Both shuffles key on user_id (first-seen agg + the join back);
         # the matrix itself is bounded by days², not corpus size.
+        from pyspark.sql import Window as W
+
         ev = _t(spark, sf, "events").select(
             "user_id", F.date_trunc("DAY", "ts").alias("day")
         )
-        firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+        # first-seen day as a window min over the SAME user_id partitioning
+        # the rest of the query needs: one scan, one shuffle, no agg+join
+        # round trip back onto the fact table.
         r = (
-            ev.join(firsts, "user_id")
+            ev.withColumn("cohort", F.min("day").over(W.partitionBy("user_id")))
             .select(
                 "user_id",
                 "cohort",
@@ -1654,6 +1663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("revenue_cents")
             )
             .withColumn("_negrev", -F.col("revenue_cents"))
+            # consumed by the scan AND the total — pin once (house rule):
+            # a re-evaluation would repeat the full lineitem scan+shuffle.
+            .localCheckpoint()
         )
         scanned = prefix_agg(
             rev, key=["_negrev", "l_partkey"], value_col="revenue_cents",

@@ -111,10 +111,12 @@ def local_triangle_counts(edges: DataFrame) -> DataFrame:
         o,
         (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
     ).select("a", "b", "c")
-    verts = (
-        tri.select(F.col("a").alias("part_id"))
-        .unionAll(tri.select(F.col("b").alias("part_id")))
-        .unionAll(tri.select(F.col("c").alias("part_id")))
+    # ONE consumer of tri: explode the three roles inline so the wedge +
+    # closing joins execute once (a three-way unionAll of tri re-ran the
+    # whole join pipeline per branch — plan-checked), and the explode
+    # feeds the groupBy's map-side combine in the same stage.
+    verts = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("part_id")
     )
     return verts.groupBy("part_id").agg(F.count("*").alias("n_triangles"))
 

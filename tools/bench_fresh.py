@@ -52,6 +52,8 @@ DEFAULT_QUERIES = [
     "q_profile", "text_pii_redact", "text_tfidf", "q_bucketed_join",
     "q_merge_upsert", "q_interval_join", "text_chunk", "q_shard_plan",
     "q_temperature_sample", "text_pack_plan",
+    "dedup_snm", "dedup_edit_distance", "q_triangle_count", "q_pagerank",
+    "q_skyline", "q_pareto_revenue", "q_sketch_merge", "q_merge_join_stats",
 ]
 
 

@@ -102,6 +102,11 @@ def local_triangle_counts(edges: DataFrame) -> DataFrame:
     total order), so each triangle closes exactly once — no /3 correction,
     no double counting.
     """
+    # The edge list arrives as an arbitrary (possibly expensive) plan and
+    # is consumed three times upstream of orientation (twice by the degree
+    # union, once by the orientation join) → pin it once at the boundary:
+    # (u, v) longs only, ~16 B/row.
+    edges = edges.localCheckpoint()
     # wedges + closing join both consume the oriented relation → pin once.
     o = oriented_edges(edges).localCheckpoint()
     o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -134,6 +139,9 @@ def pagerank_int(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # pin the (possibly expensive) edge plan before the two-way union
+    # evaluates it twice; then pin the directed relation for the rounds.
+    edges = edges.localCheckpoint()
     # ed (directed both ways) + deg are consumed every iteration → pin once.
     ed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))

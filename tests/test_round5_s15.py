@@ -88,3 +88,37 @@ def test_merge_join_plans_as_sort_merge(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_plan_lint_flags_and_allowlists(spark):
+    # the linter's three detectors on crafted plans
+    import importlib.util as ilu
+    import sys as _sys
+
+    spec = ilu.spec_from_file_location("plan_lint", "/root/repo/tools/plan_lint.py")
+    m = ilu.module_from_spec(spec)
+    _sys.modules["plan_lint"] = m
+    spec.loader.exec_module(m)
+
+    a = spark.range(5)
+    b = spark.range(7)
+    cart = a.crossJoin(b)._jdf.queryExecution().executedPlan().toString()
+    # small cross joins plan as BNLJ, large ones as CartesianProduct —
+    # either way the linter must flag a non-allowlisted name
+    assert m.lint_plan("anything", cart)
+    assert m.lint_plan("anything", "... CartesianProduct ...") == ["CartesianProduct"]
+
+    from pyspark.sql import Window as W
+    gw = (
+        spark.range(10)
+        .withColumn("rn", F.row_number().over(W.orderBy("id")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert any("Window" in p for p in m.lint_plan("not_allowed", gw))
+    assert m.lint_plan("q_shard_plan", gw) == []  # allowlisted
+
+    clean = (
+        spark.range(10).groupBy((F.col("id") % 2).alias("g")).count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert m.lint_plan("anything", clean) == []

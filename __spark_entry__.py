@@ -1762,6 +1762,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_merge_join_stats"] = q_merge_join_stats
 
+    def streaming_merge_apply_q(spark, sf):
+        # streaming CDC apply: three deterministic change waves (update /
+        # delete / re-update-after-delete) streamed one micro-batch each
+        # through a foreachBatch MERGE loop onto a persisted snapshot.
+        # The oracle computes the ONE-SHOT merge (max-seq winner per key),
+        # so hash-green proves the loop neither loses nor reorders changes
+        # — including the delete-then-reinsert that spans batches 2→3.
+        from facematch_spark.streaming.incremental import streaming_merge_apply
+
+        base = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderpriority",
+        )
+        k = F.col("o_orderkey")
+        w1 = base.filter(k % 10 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("cents") + 100).alias("cents"),
+            "o_orderpriority",
+            F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+        )
+        w2 = base.filter(k % 17 == 3).select(
+            "*", F.lit("D").alias("op"), F.lit(2).cast("long").alias("seq")
+        )
+        w3 = base.filter(k % 20 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.lit("Y").alias("o_orderstatus"),
+            (F.col("cents") + 200).alias("cents"),
+            "o_orderpriority",
+            F.lit("U").alias("op"), F.lit(3).cast("long").alias("seq"),
+        )
+        return streaming_merge_apply(spark, base, [w1, w2, w3], "o_orderkey")
+    q["streaming_merge_apply"] = streaming_merge_apply_q
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -3114,6 +3151,40 @@ def oracle_sql() -> dict[str, str]:
                    AS sum_cents
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY 1, 2
+    """
+
+    # One-shot merge of all three change waves — the streaming loop must
+    # land on exactly this snapshot.
+    o["streaming_merge_apply"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   o_orderpriority
+            FROM orders
+        ),
+        versions AS (
+            SELECT *, 'U' AS op, 0 AS seq FROM base
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'X', cents + 100, o_orderpriority,
+                   'U', 1
+            FROM base WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, cents, o_orderpriority,
+                   'D', 2
+            FROM base WHERE o_orderkey % 17 = 3
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'Y', cents + 200, o_orderpriority,
+                   'U', 3
+            FROM base WHERE o_orderkey % 20 = 0
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC
+            ) AS rn
+            FROM versions
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, cents, o_orderpriority
+        FROM ranked WHERE rn = 1 AND op = 'U'
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -298,3 +298,79 @@ def streaming_static_enrich(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_merge_apply(
+    spark: SparkSession,
+    base: DataFrame,
+    change_waves: list[DataFrame],
+    key: str,
+) -> DataFrame:
+    """Streaming CDC apply loop — the foreachBatch MERGE pattern every
+    Delta/Iceberg streaming sink runs: a change stream is applied wave by
+    wave onto a persisted snapshot table, each micro-batch running ONE
+    ``merge_upsert`` (operators/merge.py — map-side-combinable, no window)
+    against the current state and atomically replacing it.
+
+    Mechanics: each wave is staged as one parquet file with increasing
+    mtimes; the file source with ``maxFilesPerTrigger=1`` yields one
+    micro-batch per wave in order. Within a batch, (key, seq) uniqueness
+    makes the merge deterministic; across batches, in-order application
+    plus latest-seq-wins makes the final snapshot equal the ONE-SHOT merge
+    of all waves — which is exactly what the batch oracle computes, so
+    hash-green proves the apply loop neither loses nor reorders changes
+    (including delete-then-reinsert ACROSS batches). The new state is
+    ``localCheckpoint``-ed (eager) before the overwrite so the state dir
+    is never rewritten under a lazy plan that still reads it.
+
+    Scale note: with a table format (Delta/Iceberg) the overwrite becomes
+    a transactional MERGE commit and the state read a snapshot read; the
+    dataflow inside the loop is unchanged.
+    """
+    import os
+    import tempfile
+    import time as _time
+
+    from facematch_spark.operators.merge import merge_upsert
+
+    stage_dir = tempfile.mkdtemp(prefix="fm_stream_merge_in_")
+    state_dir = os.path.join(
+        tempfile.mkdtemp(prefix="fm_stream_merge_state_"), "state"
+    )
+    ckpt_dir = tempfile.mkdtemp(prefix="fm_stream_merge_ckpt_")
+
+    change_schema = change_waves[0].schema
+    for i, wave in enumerate(change_waves):
+        wdir = os.path.join(stage_dir, f"w{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(wdir)
+        part = next(
+            f for f in sorted(os.listdir(wdir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(stage_dir, f"{i:03d}.parquet")
+        os.rename(os.path.join(wdir, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        import shutil
+
+        shutil.rmtree(wdir)  # keep the listing to exactly the wave files
+
+    base.write.mode("overwrite").parquet(state_dir)
+
+    def _apply(batch_df, _bid):
+        state = spark.read.parquet(state_dir)
+        nxt = merge_upsert(state, batch_df, key).localCheckpoint()
+        nxt.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(change_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _time.time() + 300
+    while q.isActive and _time.time() < deadline:
+        _time.sleep(0.2)
+    q.awaitTermination(5)
+    return spark.read.parquet(state_dir)

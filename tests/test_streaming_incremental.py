@@ -197,3 +197,35 @@ def test_streaming_static_enrich_matches_batch_across_batches(
         ("view", 1, 200 * 4),
         ("signup", 1, 1050 * 6),
     }
+
+
+def test_streaming_merge_apply_equals_one_shot(spark, tmp_path):
+    # tiny base; delete-then-reinsert spans waves 2 -> 3
+    from facematch_spark.operators.merge import merge_upsert
+    from facematch_spark.streaming.incremental import streaming_merge_apply
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 11)], "k long, payload string"
+    )
+    w1 = spark.createDataFrame(
+        [(2, "w1", "U", 1), (11, "new", "U", 1)], "k long, payload string, op string, seq long"
+    )
+    w2 = spark.createDataFrame(
+        [(2, "x", "D", 2), (3, "x", "D", 2)], "k long, payload string, op string, seq long"
+    )
+    w3 = spark.createDataFrame(
+        [(2, "w3", "U", 3)], "k long, payload string, op string, seq long"
+    )
+    got = {
+        r.k: r.payload
+        for r in streaming_merge_apply(spark, base, [w1, w2, w3], "k").collect()
+    }
+    one_shot = merge_upsert(
+        base, w1.unionByName(w2).unionByName(w3), "k"
+    )
+    want = {r.k: r.payload for r in one_shot.collect()}
+    assert got == want
+    assert got[2] == "w3"      # deleted in wave 2, reinserted in wave 3
+    assert 3 not in got        # delete sticks
+    assert got[11] == "new"    # insert via change stream

@@ -1799,6 +1799,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return streaming_merge_apply(spark, base, [w1, w2, w3], "o_orderkey")
     q["streaming_merge_apply"] = streaming_merge_apply_q
 
+    def q_regression_slope(spark, sf):
+        # per-type OLS trend of event value over time, EXACTLY: hour index
+        # and value-cents are integers, so every sufficient statistic
+        # (n, Σx, Σy, Σxy, Σx²) is an exact int64 sum — order-independent —
+        # and the closed-form slope/intercept are single divisions of
+        # exact integers (correctly rounded, engine-independent). The
+        # float-sum regr_slope() path would hash-flicker; this never can.
+        # One map-side-combinable shuffle of 5 longs per group.
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            (
+                F.unix_timestamp("ts") - F.lit(1704067200)
+            ).cast("long").alias("_sec"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+        ).withColumn("_hr", F.expr("_sec div 3600"))
+        s = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("_hr").alias("sx"),
+            F.sum("_cents").alias("sy"),
+            F.sum(F.col("_hr") * F.col("_cents")).alias("sxy"),
+            F.sum(F.col("_hr") * F.col("_hr")).alias("sxx"),
+        )
+        num = s["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = s["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+        return s.select(
+            "event_type",
+            "n",
+            (num.cast("double") / den.cast("double")).alias("slope_cents_per_hr"),
+            (
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+                / den.cast("double")
+            ).alias("intercept_cents"),
+        )
+    q["q_regression_slope"] = q_regression_slope
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -3185,6 +3220,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT o_orderkey, o_custkey, o_orderstatus, cents, o_orderpriority
         FROM ranked WHERE rn = 1 AND op = 'U'
+    """
+
+    # floor(epoch()) because DuckDB epoch() keeps fractional seconds while
+    # Spark unix_timestamp truncates; DuckDB CAST double->int would ROUND.
+    o["q_regression_slope"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 3600 AS hr,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, count(*) AS n,
+                   sum(hr) AS sx, sum(cents) AS sy,
+                   sum(hr * cents) AS sxy, sum(hr * hr) AS sxx
+            FROM ev GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hr,
+               CAST(sy * sxx - sx * sxy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+        FROM s
     """
 
     o["q_sample_fixed_n"] = f"""

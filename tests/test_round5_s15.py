@@ -122,3 +122,21 @@ def test_plan_lint_flags_and_allowlists(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert m.lint_plan("anything", clean) == []
+
+
+def test_regression_slope_matches_numpy_lstsq(spark):
+    import numpy as np
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_type: r for r in
+           E.queries()["q_regression_slope"](spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    one = sorted(out)[0]
+    rows = ev.filter(F.col("event_type") == one).select("ts", "value").collect()
+    x = np.array([int(r.ts.timestamp()) // 3600 - 1704067200 // 3600 for r in rows],
+                 dtype=np.float64)
+    y = np.array([round(r.value * 100) for r in rows], dtype=np.float64)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(out[one].slope_cents_per_hr - slope) < 1e-6
+    assert abs(out[one].intercept_cents - intercept) < 1e-3

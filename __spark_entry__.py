@@ -1834,6 +1834,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_regression_slope"] = q_regression_slope
 
+    def q_link_prediction(spark, sf):
+        # link prediction on the co-purchase graph: Resource-Allocation
+        # index (Σ 1/deg(common neighbor), integer micro-units — chosen
+        # over Adamic-Adar because 1/ln(deg) rides a libm log whose last
+        # bit differs across engines), top-10 candidates per canonical
+        # lower vertex. Baskets capped at ≤5 distinct parts — the
+        # documented hub-capping practice applied, bounding the wedge
+        # fan-out Σ deg(w)².
+        from facematch_spark.operators.graph import link_prediction_ra
+
+        ip = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        ok = (
+            ip.groupBy("l_orderkey")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= 5)
+            .select("l_orderkey")
+        )
+        ip2 = ip.join(ok, "l_orderkey", "left_semi")
+        a, b = ip2.alias("a"), ip2.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .distinct()
+        )
+        return link_prediction_ra(edges, top_k=10)
+    q["q_link_prediction"] = q_link_prediction
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -3243,6 +3274,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(sy * sxx - sx * sxy AS DOUBLE)
                    / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
         FROM s
+    """
+
+    o["q_link_prediction"] = """
+        WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        ok AS (SELECT l_orderkey FROM ip GROUP BY 1 HAVING count(*) <= 5),
+        ip2 AS (SELECT ip.* FROM ip SEMI JOIN ok USING (l_orderkey)),
+        edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM ip2 a JOIN ip2 b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        ed AS (
+            SELECT u AS w, v AS n FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ),
+        deg AS (SELECT w, count(*) AS d FROM ed GROUP BY 1),
+        wed AS (
+            SELECT e.w, e.n, 1000000 // deg.d AS wt
+            FROM ed e JOIN deg ON deg.w = e.w
+        ),
+        pairs AS (
+            SELECT a.n AS u, b.n AS v, CAST(sum(a.wt) AS BIGINT) AS score_micro
+            FROM wed a JOIN wed b ON a.w = b.w AND a.n < b.n
+            GROUP BY 1, 2
+        ),
+        non_edges AS (
+            SELECT p.* FROM pairs p
+            ANTI JOIN edges e ON e.u = p.u AND e.v = p.v
+        ),
+        ranked AS (
+            SELECT u, v, score_micro,
+                   row_number() OVER (
+                       PARTITION BY u ORDER BY score_micro DESC, v ASC
+                   ) AS rn
+            FROM non_edges
+        )
+        SELECT u, v, score_micro FROM ranked WHERE rn <= 10
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -166,3 +166,65 @@ def pagerank_int(
             .localCheckpoint()  # cut lineage per round (cf. cluster.py)
         )
     return pr.select(F.col("p").alias("part_id"), F.col("pr").alias("pr_micro"))
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    top_k: int = 10,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Link prediction by the Resource-Allocation index (Zhou, Lü &
+    Zhang, Eur. Phys. J. B 2009): score(u, v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)
+    for non-adjacent pairs, top-``top_k`` candidates per vertex.
+
+    RA is chosen over Adamic-Adar deliberately: AA's 1/ln(deg) depends on
+    a libm log whose last bit differs across engines, while RA's 1/deg
+    quantizes to ``floor(unit/deg)`` — every per-wedge contribution is an
+    integer, sums are order-independent, and the score is bit-exact in
+    any engine (same policy as the integer PageRank above).
+
+    Dataflow: wedges (u—w—v through center w) carry w's integer weight;
+    one groupBy on the (u, v) pair sums them; a left-anti join removes
+    existing edges; WindowGroupLimit keeps top_k per u (ties broken by
+    (score desc, v asc) — a total order). The wedge join is the one
+    superlinear stage; its fan-out is Σ deg(w)² — bounded for degree-
+    capped graphs, and a production run on a hub-heavy graph should cap
+    or sample N(w) first (documented, cf. the basket-size note on
+    copurchase_edges).
+    """
+    edges = edges.localCheckpoint()
+    deg = _degrees(edges)
+    ed = (
+        edges.select(F.col("u").alias("w"), F.col("v").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("n")))
+    )
+    # attach the center's integer weight once; both wedge sides reuse it
+    wed = ed.join(
+        deg.select(
+            F.col("p").alias("w"), F.expr(f"{int(unit)} div d").alias("wt")
+        ),
+        "w",
+    ).localCheckpoint()
+    a = wed.select("w", F.col("n").alias("u"), "wt")
+    b = wed.select("w", F.col("n").alias("v"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("wt").alias("score_micro"))
+    )
+    non_edges = pairs.join(
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    from pyspark.sql import Window as W
+
+    w_rank = W.partitionBy("u").orderBy(F.desc("score_micro"), F.asc("v"))
+    return (
+        non_edges.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )

@@ -110,3 +110,28 @@ def test_markov_probabilities_sum_to_one_per_source(spark):
     n_tr = out.agg(F.sum("n_transitions")).collect()[0][0]
     # each user contributes (events - 1) transitions
     assert n_tr == ev.count() - ev.select("user_id").distinct().count()
+
+
+def test_link_prediction_ra_matches_python_replay(spark):
+    from facematch_spark.operators.graph import link_prediction_ra
+
+    df, es = _random_edges(spark, n_vertices=25, n_edges=70, seed=19)
+    got = {
+        (r.u, r.v): r.score_micro
+        for r in link_prediction_ra(df, top_k=1000).collect()
+    }
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    vs = sorted(adj)
+    for i, u in enumerate(vs):
+        for v in vs[i + 1:]:
+            if v in adj[u]:
+                continue  # existing edges are never candidates
+            s = sum(1_000_000 // len(adj[w]) for w in adj[u] & adj[v])
+            if s > 0:
+                want[(u, v)] = s
+    assert got == want and want
+    assert all((u, v) not in es for (u, v) in got)

@@ -229,3 +229,59 @@ def test_streaming_merge_apply_equals_one_shot(spark, tmp_path):
     assert got[2] == "w3"      # deleted in wave 2, reinserted in wave 3
     assert 3 not in got        # delete sticks
     assert got[11] == "new"    # insert via change stream
+
+
+def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
+    # the one watermark behavior the wide-horizon entries never exercise:
+    # an event arriving AFTER the watermark passed its window must be
+    # dropped from an append-mode windowed aggregation. Two separate runs
+    # against ONE checkpoint + durable parquet sink guarantee separate
+    # micro-batches AND pin that the watermark persists across a restart
+    # (the memory sink cannot recover a checkpoint — found the hard way).
+    import datetime as dt
+    import os
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def write_wave(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        pdf["ts"] = pd.Series(pdf["ts"], dtype="datetime64[us]")
+        pdf.to_parquet(os.path.join(src, name))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted((r.ws.hour, r.n) for r in spark.read.parquet(out).collect())
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # run 1: events at hours 0 and 6 -> watermark lands at 5h (6h - 1h);
+    # the hour-0 window closes and emits with n=1
+    write_wave("000.parquet",
+               [(t0, "a", 1.0), (t0 + dt.timedelta(hours=6), "a", 1.0)])
+    assert run_once() == [(0, 1)]
+
+    # run 2 (same checkpoint): a late hour-0 event — 4.5h past the restored
+    # watermark — plus an on-time hour-7 event. The late row must be
+    # DROPPED: the closed hour-0 window is neither re-emitted nor
+    # double-counted, and nothing else has crossed the watermark yet.
+    write_wave("001.parquet",
+               [(t0 + dt.timedelta(minutes=30), "a", 1.0),
+                (t0 + dt.timedelta(hours=7), "a", 1.0)])
+    assert run_once() == [(0, 1)]

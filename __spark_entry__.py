@@ -1865,6 +1865,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_prediction_ra(edges, top_k=10)
     q["q_link_prediction"] = q_link_prediction
 
+    def q_gini_diversity(spark, sf):
+        # behavioral-diversity feature: Gini impurity of each user's
+        # event-type mix, 1 − Σ(n_i/n)² = 1 − Σn_i²/n² — chosen over
+        # Shannon entropy deliberately: entropy needs a libm log (last-bit
+        # engine-dependent), while Σn_i² and n² are exact int64 and the
+        # verdict is ONE division (same exact-rational policy as the
+        # regression/PageRank/RA entries). Two tiny keyed shuffles.
+        counts = (
+            _t(spark, sf, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n_i"))
+        )
+        return (
+            counts.groupBy("user_id")
+            .agg(
+                F.sum("n_i").alias("n"),
+                F.sum(F.col("n_i") * F.col("n_i")).alias("sq"),
+            )
+            .select(
+                "user_id",
+                "n",
+                (
+                    F.lit(1.0)
+                    - F.col("sq").cast("double")
+                    / (F.col("n") * F.col("n")).cast("double")
+                ).alias("gini"),
+            )
+        )
+    q["q_gini_diversity"] = q_gini_diversity
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -3312,6 +3342,18 @@ def oracle_sql() -> dict[str, str]:
             FROM non_edges
         )
         SELECT u, v, score_micro FROM ranked WHERE rn <= 10
+    """
+
+    o["q_gini_diversity"] = """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS n_i
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(1.0 AS DOUBLE)
+                   - CAST(sum(n_i * n_i) AS DOUBLE)
+                   / CAST(sum(n_i) * sum(n_i) AS DOUBLE) AS gini
+        FROM c GROUP BY user_id
     """
 
     o["q_sample_fixed_n"] = f"""

@@ -135,3 +135,31 @@ def test_link_prediction_ra_matches_python_replay(spark):
                 want[(u, v)] = s
     assert got == want and want
     assert all((u, v) not in es for (u, v) in got)
+
+
+def test_gini_diversity_exact_on_crafted_mixes(spark):
+    import __spark_entry__ as E  # noqa: F401 — same expression, local df
+
+    rows = (
+        [(1, "a")] * 8                       # single type -> gini 0
+        + [(2, t) for t in "abcd" * 3]       # uniform over 4 -> 1 - 1/4
+        + [(3, "a"), (3, "a"), (3, "b")]     # 2:1 mix -> 1 - 5/9
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    from pyspark.sql import functions as F
+
+    c = df.groupBy("user_id", "event_type").agg(F.count("*").alias("n_i"))
+    out = {
+        r.user_id: r.gini
+        for r in c.groupBy("user_id")
+        .agg(F.sum("n_i").alias("n"), F.sum(F.col("n_i") * F.col("n_i")).alias("sq"))
+        .select(
+            "user_id",
+            (F.lit(1.0) - F.col("sq").cast("double")
+             / (F.col("n") * F.col("n")).cast("double")).alias("gini"),
+        )
+        .collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == 1.0 - 0.25
+    assert out[3] == 1.0 - 5.0 / 9.0

@@ -1895,6 +1895,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_gini_diversity"] = q_gini_diversity
 
+    def q_kmeans(spark, sf):
+        # deterministic distributed k-means (Lloyd's, k=4, 2 rounds) over
+        # integer-quantized embeddings (operators/kmeans.py): exact int64
+        # distances, floor-of-double centroid updates (int div semantics
+        # differ across engines on negatives — documented), md5-ordered
+        # init, ties to smallest centroid id. The oracle unrolls both
+        # rounds in SQL — three independent implementations (Spark,
+        # DuckDB, a Python replay in pytest) produce identical
+        # assignments, closing the "iterative ML is not oracle-able" gap
+        # the same way the integer PageRank does.
+        from facematch_spark.operators.kmeans import kmeans_int
+
+        return kmeans_int(
+            spark, _t(spark, sf, "embeddings"), k=4, iterations=2
+        )
+    q["q_kmeans"] = q_kmeans
+
     def q_sample_fixed_n(spark, sf):
         # exactly-n-per-stratum deterministic sample: rank by (md5, key)
         # inside each language, keep rank <= n — the eval-set carve-out a
@@ -3354,6 +3371,59 @@ def oracle_sql() -> dict[str, str]:
                    - CAST(sum(n_i * n_i) AS DOUBLE)
                    / CAST(sum(n_i) * sum(n_i) AS DOUBLE) AS gini
         FROM c GROUP BY user_id
+    """
+
+    # k-means unrolled to 2 Lloyd rounds + final assignment. Centroid
+    # update is floor(double division) in BOTH engines (integer // vs div
+    # disagree on negatives); struct fields in list_zip lambdas need
+    # numeric indices in DuckDB.
+    _km_assign = """
+    (
+        SELECT p.vec_id, c.cid,
+               CAST(list_sum(list_transform(list_zip(p.q, c.cq),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+        FROM pts p CROSS JOIN {cent} c
+        QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY dist, c.cid) = 1
+    )
+    """
+    _km_update = """
+    (
+        SELECT a.cid AS cid, list(c ORDER BY dim) AS cq FROM (
+            SELECT {assign}.cid, r.range AS dim,
+                   CAST(floor(CAST(sum(p.q[r.range]) AS DOUBLE) / count(*))
+                        AS BIGINT) AS c
+            FROM {assign} JOIN pts p USING (vec_id), range(1, 65) r
+            GROUP BY {assign}.cid, r.range
+        ) a GROUP BY a.cid
+    )
+    """
+    o["q_kmeans"] = f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        init AS (
+            SELECT vec_id,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT i.cid, p.q AS cq FROM init i JOIN pts p USING (vec_id)
+            WHERE i.cid < 4
+        ),
+        a1 AS {_km_assign.format(cent="cent0")},
+        cent1 AS {_km_update.format(assign="a1")},
+        a2 AS {_km_assign.format(cent="cent1")},
+        cent2 AS {_km_update.format(assign="a2")}
+        SELECT p.vec_id, c.cid AS cluster
+        FROM pts p CROSS JOIN cent2 c
+        QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            CAST(list_sum(list_transform(list_zip(p.q, c.cq),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), c.cid) = 1
     """
 
     o["q_sample_fixed_n"] = f"""

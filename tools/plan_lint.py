@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "q_quantile_bins": "single-row exact-percentile boundary broadcast",
     "q_sample_weighted": "single-row weight-total broadcast; membership is map-only",
     "q_temperature_sample": "|strata|-row rate relation broadcast onto the corpus",
+    "q_kmeans": "k-row centroid table broadcast onto the points (the model IS tiny)",
 }
 
 # query -> reason an unpartitioned window there is NOT data-sized.

@@ -1357,10 +1357,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relative edit-distance near-dups (d <= 0.2·max_len) via lossless
         # length-band blocking (|len_a-len_b| <= d bounds band skew to ±1)
         # + same-language blocks; levenshtein runs as one JVM expression
-        # on the banded join.
+        # on the banded join. Applied to a BOUNDED slice exactly as the
+        # operator docs prescribe (the in-block join is quadratic): the
+        # 512 md5-smallest doc_ids — a deterministic constant-size slice
+        # at any corpus scale (at sf0.01 that is the whole 500-doc table,
+        # so the oracle row set is unchanged). Measured un-sliced at
+        # sf0.1: 1291 s — the cliff is real, hence the slice.
         from facematch_spark.operators.blocking import edit_distance_pairs
 
-        return edit_distance_pairs(_t(spark, sf, "documents"))
+        d = _t(spark, sf, "documents")
+        sliced = (
+            d.withColumn("_h", F.md5(F.col("doc_id").cast("string")))
+            .orderBy("_h", "doc_id")  # TakeOrderedAndProject, K-bounded
+            .limit(512)
+            .drop("_h")
+        )
+        return edit_distance_pairs(sliced)
     q["dedup_edit_distance"] = dedup_edit_distance
 
     def q_triangle_count(spark, sf):
@@ -2946,11 +2958,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["dedup_edit_distance"] = """
-        WITH d AS (
+        WITH sliced AS (
+            SELECT doc_id, text, lang
+            FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 512
+        ),
+        d AS (
             SELECT doc_id, text, lang,
                    CAST(length(text) AS BIGINT) AS len,
                    length(text) // 128 AS band
-            FROM documents WHERE length(text) <= 640
+            FROM sliced WHERE length(text) <= 640
         ),
         scored AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

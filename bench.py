@@ -206,6 +206,37 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "dedup_minhash_lsh": lambda st: D.minhash_lsh_exact_pairs(docs, E.DOC_CFG, walls=st),
         "dedup_duplicate_spans": lambda st: D.duplicate_spans(docs, k=E.SPAN_K, walls=st),
     }
+    # graph rows: same entry dataflow, with the operators' own pin
+    # boundaries marked (edges pin / orientation pin / wedge pin).
+    import facematch_spark.operators.graph as G
+
+    _lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def _capped_edges():
+        from pyspark.sql import functions as F
+
+        ip = _lineitem.select("l_orderkey", "l_partkey").distinct()
+        ok = (
+            ip.groupBy("l_orderkey").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= 5).select("l_orderkey")
+        )
+        ip2 = ip.join(ok, "l_orderkey", "left_semi")
+        a, b = ip2.alias("a"), ip2.alias("b")
+        return (
+            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .distinct()
+        )
+
+    staged_builders.update({
+        "q_triangle_count": lambda st: G.local_triangle_counts(
+            G.copurchase_edges(_lineitem), walls=st),
+        "q_pagerank": lambda st: G.pagerank_int(
+            G.copurchase_edges(_lineitem), iterations=3, walls=st),
+        "q_link_prediction": lambda st: G.link_prediction_ra(
+            _capped_edges(), top_k=10, walls=st),
+    })
 
     def timed_staged(name: str) -> None:
         st: dict[str, float] = {}

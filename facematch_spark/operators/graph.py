@@ -93,7 +93,7 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def local_triangle_counts(edges: DataFrame) -> DataFrame:
+def local_triangle_counts(edges: DataFrame, walls: dict | None = None) -> DataFrame:
     """Per-vertex triangle participation counts: (part_id, n_triangles) for
     every vertex in at least one triangle.
 
@@ -102,13 +102,18 @@ def local_triangle_counts(edges: DataFrame) -> DataFrame:
     total order), so each triangle closes exactly once — no /3 correction,
     no double counting.
     """
+    from facematch_spark import telemetry as T
+
+    t0 = T.start()
     # The edge list arrives as an arbitrary (possibly expensive) plan and
     # is consumed three times upstream of orientation (twice by the degree
     # union, once by the orientation join) → pin it once at the boundary:
     # (u, v) longs only, ~16 B/row.
     edges = edges.localCheckpoint()
+    t0 = T.mark(walls, "edges_s", t0)
     # wedges + closing join both consume the oriented relation → pin once.
     o = oriented_edges(edges).localCheckpoint()
+    T.mark(walls, "orient_s", t0)
     o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     wedges = o1.join(o2, "a").filter(F.col("b") != F.col("c"))
@@ -127,7 +132,10 @@ def local_triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def pagerank_int(
-    edges: DataFrame, iterations: int = 3, unit: int = 1_000_000
+    edges: DataFrame,
+    iterations: int = 3,
+    unit: int = 1_000_000,
+    walls: dict | None = None,
 ) -> DataFrame:
     """Integer-quantized PageRank over the undirected graph (both
     directions propagate). Returns (part_id, pr_micro) after ``iterations``
@@ -139,9 +147,13 @@ def pagerank_int(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    from facematch_spark import telemetry as T
+
+    t0 = T.start()
     # pin the (possibly expensive) edge plan before the two-way union
     # evaluates it twice; then pin the directed relation for the rounds.
     edges = edges.localCheckpoint()
+    t0 = T.mark(walls, "edges_s", t0)
     # ed (directed both ways) + deg are consumed every iteration → pin once.
     ed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -165,6 +177,7 @@ def pagerank_int(
             )
             .localCheckpoint()  # cut lineage per round (cf. cluster.py)
         )
+    T.mark(walls, "iters_s", t0)
     return pr.select(F.col("p").alias("part_id"), F.col("pr").alias("pr_micro"))
 
 
@@ -172,6 +185,7 @@ def link_prediction_ra(
     edges: DataFrame,
     top_k: int = 10,
     unit: int = 1_000_000,
+    walls: dict | None = None,
 ) -> DataFrame:
     """Link prediction by the Resource-Allocation index (Zhou, Lü &
     Zhang, Eur. Phys. J. B 2009): score(u, v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)
@@ -192,7 +206,11 @@ def link_prediction_ra(
     or sample N(w) first (documented, cf. the basket-size note on
     copurchase_edges).
     """
+    from facematch_spark import telemetry as T
+
+    t0 = T.start()
     edges = edges.localCheckpoint()
+    t0 = T.mark(walls, "edges_s", t0)
     deg = _degrees(edges)
     ed = (
         edges.select(F.col("u").alias("w"), F.col("v").alias("n"))
@@ -205,6 +223,7 @@ def link_prediction_ra(
         ),
         "w",
     ).localCheckpoint()
+    T.mark(walls, "wedge_pin_s", t0)
     a = wed.select("w", F.col("n").alias("u"), "wt")
     b = wed.select("w", F.col("n").alias("v"))
     pairs = (

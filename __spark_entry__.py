@@ -1599,6 +1599,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_except_all"] = q_except_all
 
+    def q_intersect_all(spark, sf):
+        # multiset intersection (the EXCEPT ALL sibling): per-(user, type)
+        # event instances present in BOTH month halves, with multiplicity
+        # min(count_a, count_b) — Spark's intersectAll plans the same
+        # replicate-by-count shape, no join explosion.
+        ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+        a = ev.filter(F.expr("ts < TIMESTAMP '2024-01-16'")).drop("ts")
+        b = ev.filter(F.expr("ts >= TIMESTAMP '2024-01-16'")).drop("ts")
+        return (
+            a.intersectAll(b)
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n_common"))
+        )
+    q["q_intersect_all"] = q_intersect_all
+
     def q17_small_qty_revenue(spark, sf):
         # TPC-H Q17 shape: correlated SCALAR subquery (per-part average
         # threshold) left to Catalyst — it decorrelates to an aggregate +
@@ -3442,6 +3457,20 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY
             CAST(list_sum(list_transform(list_zip(p.q, c.cq),
                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), c.cid) = 1
+    """
+
+    o["q_intersect_all"] = """
+        WITH a AS (
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-16'
+        ),
+        b AS (
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'
+        ),
+        ix AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        SELECT user_id, event_type, count(*) AS n_common
+        FROM ix GROUP BY 1, 2
     """
 
     o["q_sample_fixed_n"] = f"""

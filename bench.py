@@ -187,7 +187,7 @@ def run_bench(sf_dir: str, cpus: str, quiet: bool = True) -> dict:
         "q17_small_qty_revenue", "q13_order_count_dist", "q_sketch_merge",
         "q_pareto_revenue", "q_anomaly_mad", "q_array_hof", "q_merge_join_stats",
         "q_regression_slope", "q_link_prediction", "q_gini_diversity",
-        "q_kmeans",
+        "q_kmeans", "q_intersect_all",
     ]
     # Per-stage walls for the heavy dedup rows WITHOUT changing their plans:
     # operators accept walls= and record their OWN eager materialization

@@ -126,3 +126,27 @@ def test_mode_per_group_plans_as_window_group_limit(spark):
     # one row per user, and it is a true argmax
     rows = df.collect()
     assert len(rows) == len({r.user_id for r in rows})
+
+
+def test_intersect_all_is_min_multiset(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        (r.user_id, r.event_type): r.n_common
+        for r in E.queries()["q_intersect_all"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    a = (
+        ev.filter(F.expr("ts < TIMESTAMP '2024-01-16'"))
+        .groupBy("user_id", "event_type").agg(F.count("*").alias("na"))
+    )
+    b = (
+        ev.filter(F.expr("ts >= TIMESTAMP '2024-01-16'"))
+        .groupBy("user_id", "event_type").agg(F.count("*").alias("nb"))
+    )
+    joined = a.join(b, ["user_id", "event_type"])
+    want = {
+        (r.user_id, r.event_type): min(r.na, r.nb) for r in joined.collect()
+    }
+    assert out == want and want

@@ -285,3 +285,23 @@ def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
                [(t0 + dt.timedelta(minutes=30), "a", 1.0),
                 (t0 + dt.timedelta(hours=7), "a", 1.0)])
     assert run_once() == [(0, 1)]
+
+
+def test_merge_apply_batch_replay_is_idempotent(spark):
+    # foreachBatch redelivers a batch when a failure lands between the
+    # state overwrite and the checkpoint commit; applying the SAME change
+    # batch onto the already-updated state must be a no-op (upsert
+    # overwrites with the identical winner; a delete of an absent key
+    # stays absent) — this is the sink's exactly-once story.
+    from facematch_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 8)], "k long, payload string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "upd", "U", 5), (3, "x", "D", 5), (9, "new", "U", 5)],
+        "k long, payload string, op string, seq long",
+    )
+    once = merge_upsert(base, batch, "k").localCheckpoint()
+    twice = merge_upsert(once, batch, "k")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

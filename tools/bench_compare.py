@@ -27,6 +27,8 @@ import sys
 def load_ref(path: str) -> tuple[dict[str, float], dict | None]:
     if path.endswith(".json"):
         d = json.load(open(path))
+        if "queries" not in d and "parsed" in d:  # driver BENCH_rN wrapper
+            d = d["parsed"]
         return {k: float(v) for k, v in d["queries"].items()}, d.get("cpu_health")
     md = open(path).read()
     return {q: float(t) for q, t in re.findall(r"\| (\w+) \| ([\d.]+) \|", md)}, None

@@ -162,6 +162,13 @@ def edit_distance_pairs(
         )
     inv = int(round(inv))
     band_width = math.ceil(dist_ratio * max_chars)
+    # Any pair that can survive the relative filter has
+    # dist ≤ max_len / inv ≤ max_chars · dist_ratio — so the bounded
+    # levenshtein (Spark 3.5+ threshold arg: banded O(n·k) DP with early
+    # exit instead of the full O(n·m) matrix) returns the EXACT distance
+    # for every kept pair and -1 only for pairs the filter would drop
+    # anyway (guide §1.2 "per-task work": ~5× fewer DP cells at ratio 0.2).
+    dist_cap = int(max_chars * dist_ratio)
 
     base = docs.select(
         F.col(id_col).alias("_id"),
@@ -174,9 +181,14 @@ def edit_distance_pairs(
     a, b = banded.alias("a"), banded.alias("b")
     block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     def _score(joined: DataFrame) -> DataFrame:
-        dist = F.levenshtein(F.col("a._text"), F.col("b._text")).cast("long")
+        # lossless length prefilter: dist ≥ |len_a − len_b|, so a kept pair
+        # needs |Δlen| · inv ≤ max_len — pruned BEFORE the levenshtein DP
+        # runs (adjacent-band pairs can differ by up to 2·band_width − 1
+        # chars, far past the cap, and this drops them for two int ops).
         max_len = F.greatest(F.col("a._len"), F.col("b._len")).cast("long")
-        return joined.select(
+        delta = F.abs(F.col("a._len") - F.col("b._len")).cast("long")
+        dist = F.levenshtein(F.col("a._text"), F.col("b._text"), dist_cap).cast("long")
+        return joined.filter(delta * inv <= max_len).select(
             F.least("a._id", "b._id").alias("id_a"),
             F.greatest("a._id", "b._id").alias("id_b"),
             dist.alias("dist"),
@@ -197,7 +209,9 @@ def edit_distance_pairs(
     adj = _score(a.join(b, [F.col("a._band") + 1 == F.col("b._band"), *block_eq]))
     return (
         same.unionByName(adj)
-        .filter(F.col("dist") * inv <= F.col("_ml"))
+        # dist ≥ 0 drops the bounded form's -1 sentinel rows (dist > cap ⇒
+        # the relative filter would reject them regardless)
+        .filter((F.col("dist") >= 0) & (F.col("dist") * inv <= F.col("_ml")))
         .drop("_ml")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -42,6 +42,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Vertex count under which per-vertex relations (degrees, PageRank
+# contributions) are broadcast instead of shuffled — same order as the
+# engine's other broadcast gates (verify.ATTACH_BROADCAST_IDS_MAX, the
+# ngram 5M shingle tier): 2M vertices ≈ 32 MB of (id, long) pairs. Past
+# it the shuffled-hash joins below are the scale-correct plan.
+BROADCAST_VERTEX_MAX = 2_000_000
+
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct undirected part co-purchase edges (u < v): two parts are
@@ -78,8 +85,20 @@ def _degrees(edges: DataFrame) -> DataFrame:
 
 def oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient each undirected edge from the lower to the higher endpoint in
-    the total order (degree, id). Returns (src, dst)."""
+    the total order (degree, id). Returns (src, dst).
+
+    The two degree joins build on the (|V|-row, 16-byte) degree relation:
+    broadcast below the vertex gate (the edge relation is then never
+    shuffled for orientation at all), shuffled-hash above it (no sort of
+    the edge relation either way — guide §3.1)."""
     deg = _degrees(edges)
+    # |V| ≤ 2·|E|, so the edge count (one cheap count over the caller's
+    # pinned edge relation) bounds the degree-relation size without running
+    # the degree aggregation an extra time.
+    if edges.limit(BROADCAST_VERTEX_MAX // 2 + 1).count() <= BROADCAST_VERTEX_MAX // 2:
+        deg = F.broadcast(deg)
+    else:
+        deg = deg.hint("shuffle_hash")
     e = (
         edges.join(deg.select(F.col("p").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("p").alias("v"), F.col("d").alias("dv")), "v")
@@ -116,9 +135,13 @@ def local_triangle_counts(edges: DataFrame, walls: dict | None = None) -> DataFr
     T.mark(walls, "orient_s", t0)
     o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = o1.join(o2, "a").filter(F.col("b") != F.col("c"))
+    # Shuffled-hash joins, build = the oriented-edge relation (O(m) rows of
+    # two longs): sort-merge would SORT the wedge fan-out (Σ outdeg² rows —
+    # the largest relation in the job) before the closing join; hashing the
+    # small side streams the wedges through unsorted (guide §3.1).
+    wedges = o1.join(o2.hint("shuffle_hash"), "a").filter(F.col("b") != F.col("c"))
     tri = wedges.join(
-        o,
+        o.hint("shuffle_hash"),
         (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
     ).select("a", "b", "c")
     # ONE consumer of tri: explode the three roles inline so the wedge +
@@ -163,10 +186,16 @@ def pagerank_int(
     deg = ed.groupBy(F.col("src").alias("p")).agg(F.count("*").alias("d")).localCheckpoint()
     pr = deg.select("p", F.lit(unit).cast("long").alias("pr"))
     teleport = int(0.15 * unit)
+    # contrib is |V| rows of (id, long): broadcast it below the vertex gate
+    # so the O(m) directed-edge relation is never shuffled per round — the
+    # groupBy(dst) exchange becomes each iteration's only edge-sized
+    # shuffle. Past the gate, shuffled-hash keeps the no-sort property.
+    bcast_contrib = deg.limit(BROADCAST_VERTEX_MAX + 1).count() <= BROADCAST_VERTEX_MAX
     for _ in range(iterations):
-        contrib = pr.join(deg, "p").select(
+        contrib = pr.join(deg.hint("shuffle_hash"), "p").select(
             F.col("p").alias("src"), F.expr("pr div d").alias("c")
         )
+        contrib = F.broadcast(contrib) if bcast_contrib else contrib.hint("shuffle_hash")
         pr = (
             ed.join(contrib, "src")
             .groupBy(F.col("dst").alias("p"))
@@ -226,16 +255,21 @@ def link_prediction_ra(
     T.mark(walls, "wedge_pin_s", t0)
     a = wed.select("w", F.col("n").alias("u"), "wt")
     b = wed.select("w", F.col("n").alias("v"))
+    # shuffled-hash: the wedge fan-out (Σ deg(w)² rows) is generated and
+    # partially aggregated without ever being sorted; sort-merge would sort
+    # both 2m-row sides AND leave the fan-out feeding a sort-based plan.
     pairs = (
-        a.join(b, "w")
+        a.join(b.hint("shuffle_hash"), "w")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum("wt").alias("score_micro"))
     )
+    # anti join builds on the (m-row) canonical edge relation, so the much
+    # larger candidate-pair relation streams through unsorted.
     non_edges = pairs.join(
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        ),
+        ).hint("shuffle_hash"),
         ["u", "v"],
         "left_anti",
     )

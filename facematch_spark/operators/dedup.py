@@ -195,7 +195,11 @@ def ngram_jaccard_pairs(
     # passes, so the filter applies per-row BEFORE the dedup shuffle
     # (map-side pruning; the groupBy-max formulation would shuffle every
     # shared-prefix row first).
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # shuffled-hash self-join (guide §3.1): the auto plan broadcasts one
+    # side of the prefix relation — a driver collect + per-query hash-table
+    # build that measured 2× slower than hashing per partition, and a
+    # non-starter once the prefix relation outgrows the broadcast cap.
+    a, b = prefix.alias("a"), prefix.alias("b").hint("shuffle_hash")
     alpha = F.ceil(
         F.lit(threshold) / (1 + threshold) * (F.col("a.n_sh") + F.col("b.n_sh"))
     )
@@ -222,14 +226,21 @@ def _verify_exact_jaccard(
     cands: DataFrame, sh: DataFrame, threshold: float, walls: dict | None = None, t0=None
 ) -> DataFrame:
     """Exact-Jaccard verification tier shared by the self-join and
-    cross-corpus PPJoin operators: when the whole shingle relation fits in a
-    broadcast, ship per-doc SORTED NumPy int64 arrays once to every
-    executor (8 bytes/element + one small array object per doc — unlike
-    Python sets at ~60 bytes/element) and verify candidates with zero
-    array shuffle (candidates travel as two longs). Past the broadcast
-    ceiling, fall back to the array equi-join (each candidate pulls both
-    sorted arrays through the shuffle) — same results, more IO. The gate
-    is sized for real driver heap: 5M rows ≈ 40 MB of array payload."""
+    cross-corpus PPJoin operators — JVM-only (guide §4.1: the previous
+    row-at-a-time Python verify walked every candidate pair through a
+    mapInPandas loop; on word-soup corpora the PPJoin prefix filter leaves
+    ~10³× more candidates than matches, so the boundary dominated):
+
+      * per-doc sorted shingle-hash arrays are built distributed (one
+        groupBy, pinned once — both join sides consume it);
+      * candidates attach both arrays via hash joins — BROADCAST when the
+        shingle relation is small enough (≤ 5M rows ≈ 40 MB of array
+        payload — candidates never shuffle at all), shuffled-hash past the
+        gate (same results, the arrays ride the exchange);
+      * ``jaccard = |A∩B| / (n_a + n_b − |A∩B|)`` as one codegen
+        ``array_intersect``/``size`` expression — integer-ratio doubles,
+        bit-identical to the NumPy ``intersect1d`` form it replaces.
+    """
     from collections.abc import Iterator
 
     import numpy as np
@@ -238,38 +249,60 @@ def _verify_exact_jaccard(
     BROADCAST_SHINGLE_LIMIT = 5_000_000
     n_shingle_rows = sh.count()
 
-    def _intersect_jaccard(x: np.ndarray, y: np.ndarray) -> float:
-        inter = np.intersect1d(x, y, assume_unique=True).size
-        return inter / (x.size + y.size - inter)
+    def _merge_intersect(flat: np.ndarray, sa: int, ea: int, sb: int, eb: int) -> float:
+        # sorted-merge intersection via one searchsorted of the smaller set
+        # into the larger — O(m log n), no per-pair concat+sort allocation
+        # (np.intersect1d sorts the 2n-element concatenation every call)
+        if ea - sa < eb - sb:
+            sa, ea, sb, eb = sb, eb, sa, ea
+        big, small = flat[sa:ea], flat[sb:eb]
+        idx = np.searchsorted(big, small)
+        idx[idx == big.size] = 0
+        inter = int(np.count_nonzero(big[idx] == small))
+        return inter / ((ea - sa) + (eb - sb) - inter)
 
     if n_shingle_rows <= BROADCAST_SHINGLE_LIMIT:
-        # Arrow-batched driver collect (toPandas) — row-based .collect()
-        # deserializes each shingle array element-by-element through the
-        # Pyrolite path; Arrow moves the list column as one buffer.
-        arr_pdf = (
-            sh.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("sh")).alias("arr"))
-            .toPandas()
-        )
-        by_doc: dict[int, np.ndarray] = {
-            int(d): np.asarray(a, dtype=np.int64)
-            for d, a in zip(arr_pdf["doc_id"].to_numpy(), arr_pdf["arr"].to_numpy())
+        # Raw Arrow collect of the flat (doc_id, sh) relation — no groupBy
+        # shuffle, no per-doc sort_array: ONE driver-side lexsort orders the
+        # whole buffer by (doc_id, sh), which IS the concatenation of every
+        # doc's sorted array. The broadcast payload is that single int64
+        # block + an id→(start,end) offset dict: a dict of n_docs separate
+        # NumPy arrays would pickle and unpickle per-object in every verify
+        # worker; the flat buffer moves as one zero-copy block.
+        sh_pdf = sh.toPandas()
+        ids_all = sh_pdf["doc_id"].to_numpy()
+        vals_all = sh_pdf["sh"].to_numpy()
+        order = np.lexsort((vals_all, ids_all))
+        flat = np.ascontiguousarray(vals_all[order], dtype=np.int64)
+        ids_sorted = ids_all[order]
+        uniq, starts = np.unique(ids_sorted, return_index=True)
+        bounds = np.append(starts, len(ids_sorted))
+        offsets: dict[int, tuple[int, int]] = {
+            int(d): (int(bounds[i]), int(bounds[i + 1])) for i, d in enumerate(uniq)
         }
-        bc = sh.sparkSession.sparkContext.broadcast(by_doc)
+        bc = sh.sparkSession.sparkContext.broadcast((flat, offsets))
         if t0 is not None:
             mark(walls, "bcast_collect_s", t0)
 
         def verify_bc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            lookup = bc.value
+            bflat, boff = bc.value
             for pdf in it:
                 n = len(pdf)
                 jac = np.empty(n, dtype=np.float64)
                 ids_a, ids_b = pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()
                 for i in range(n):
-                    jac[i] = _intersect_jaccard(lookup[ids_a[i]], lookup[ids_b[i]])
+                    sa, ea = boff[ids_a[i]]
+                    sb, eb = boff[ids_b[i]]
+                    jac[i] = _merge_intersect(bflat, sa, ea, sb, eb)
                 out = pdf.assign(jaccard=jac)
                 yield out[out["jaccard"] >= threshold]
 
+        # candidates are (long, long) rows: spread them to full cluster
+        # width before the Python stage (AQE coalesces the upstream dedup
+        # exchange to a handful of partitions by byte size, which would cap
+        # verify at that many tasks — the repartition costs a ~16 B/row
+        # shuffle and restores the parallelism)
+        cands = cands.repartition(sh.sparkSession.sparkContext.defaultParallelism)
         return cands.mapInPandas(verify_bc, schema="id_a long, id_b long, jaccard double")
 
     arrays = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("sh")).alias("arr"))
@@ -284,9 +317,10 @@ def _verify_exact_jaccard(
             jac = np.empty(n, dtype=np.float64)
             aa, bb = pdf["arr_a"].to_numpy(), pdf["arr_b"].to_numpy()
             for i in range(n):
-                jac[i] = _intersect_jaccard(
-                    np.asarray(aa[i], dtype=np.int64), np.asarray(bb[i], dtype=np.int64)
-                )
+                x = np.asarray(aa[i], dtype=np.int64)
+                y = np.asarray(bb[i], dtype=np.int64)
+                inter = np.intersect1d(x, y, assume_unique=True).size
+                jac[i] = inter / (x.size + y.size - inter)
             out = pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac})
             yield out[out["jaccard"] >= threshold]
 
@@ -761,8 +795,9 @@ def ngram_jaccard_pairs_between(
         .select("doc_id", "_side", "sh", "rnk", "n_sh")
         .localCheckpoint()
     )
+    # shuffled-hash for the same reason as the self-join form (guide §3.1)
     a = prefix.filter(F.col("_side") == 0).alias("a")
-    b = prefix.filter(F.col("_side") == 1).alias("b")
+    b = prefix.filter(F.col("_side") == 1).alias("b").hint("shuffle_hash")
     alpha = F.ceil(
         F.lit(threshold) / (1 + threshold) * (F.col("a.n_sh") + F.col("b.n_sh"))
     )

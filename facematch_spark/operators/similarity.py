@@ -230,13 +230,24 @@ def embedding_near_dup_pairs_lsh(
         vectors, n_bits, n_tables, dim, seed, vec_col, id_col,
         hot_bucket_cap=hot_bucket_cap, salt_buckets=salt_buckets,
     )
-    v = vectors.select(F.col(id_col), F.col(vec_col))
+    # norms are per-VECTOR, not per-pair: compute them once on the |corpus|-
+    # row relation instead of twice per candidate (the HOF norm walks an
+    # interpreted lambda per element — hoisting it off the candidate relation
+    # removes 2/3 of the per-pair lambda work; the cosine divides by the
+    # same two doubles, so results are bit-identical)
+    v = vectors.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm"))
     return (
-        cands.join(v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a")
-        .join(v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
+        cands.join(
+            v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_nrm").alias("_na")),
+            "id_a",
+        )
+        .join(
+            v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_nrm").alias("_nb")),
+            "id_b",
+        )
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
@@ -465,13 +476,21 @@ def ann_topk_ivf(
         .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    v = vectors.select("vec_id", "embedding")
+    # per-vector norms hoisted off the candidate relation — see
+    # embedding_near_dup_pairs_lsh (bit-identical: same doubles divided)
+    v = vectors.select("vec_id", "embedding", _norm(F.col("embedding")).alias("_nrm"))
     scored = (
-        cands.join(v.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq")), "query_id")
-        .join(v.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vn")), "neighbor_id")
+        cands.join(
+            v.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vq"), F.col("_nrm").alias("_nq")),
+            "query_id",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vn"), F.col("_nrm").alias("_nn")),
+            "neighbor_id",
+        )
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("vq"), F.col("vn")) / (_norm(F.col("vq")) * _norm(F.col("vn"))), 6),
+            F.round(_dot(F.col("vq"), F.col("vn")) / (F.col("_nq") * F.col("_nn")), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -535,13 +554,21 @@ def ann_topk_lsh(
         .filter(F.col("qid") != F.col("nid"))
         .dropDuplicates(["qid", "nid"])
     )
-    v = vectors.select(F.col("vec_id"), F.col("embedding"))
+    # per-vector norms hoisted off the candidate relation — see
+    # embedding_near_dup_pairs_lsh (bit-identical: same doubles divided)
+    v = vectors.select(F.col("vec_id"), F.col("embedding"), _norm(F.col("embedding")).alias("_nrm"))
     scored = (
-        cands.join(v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va")), "qid")
-        .join(v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb")), "nid")
+        cands.join(
+            v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"), F.col("_nrm").alias("_na")),
+            "qid",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"), F.col("_nrm").alias("_nb")),
+            "nid",
+        )
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6),
         )
         .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"), "cosine")
     )

@@ -163,12 +163,11 @@ def edit_distance_pairs(
     inv = int(round(inv))
     band_width = math.ceil(dist_ratio * max_chars)
     # Any pair that can survive the relative filter has
-    # dist ≤ max_len / inv ≤ max_chars · dist_ratio — so the bounded
+    # dist ≤ max_len div inv ≤ max_chars · dist_ratio — so the bounded
     # levenshtein (Spark 3.5+ threshold arg: banded O(n·k) DP with early
     # exit instead of the full O(n·m) matrix) returns the EXACT distance
     # for every kept pair and -1 only for pairs the filter would drop
-    # anyway (guide §1.2 "per-task work": ~5× fewer DP cells at ratio 0.2).
-    dist_cap = int(max_chars * dist_ratio)
+    # anyway (guide §1.2 "per-task work": ≥5× fewer DP cells at ratio 0.2).
 
     base = docs.select(
         F.col(id_col).alias("_id"),
@@ -187,7 +186,13 @@ def edit_distance_pairs(
         # chars, far past the cap, and this drops them for two int ops).
         max_len = F.greatest(F.col("a._len"), F.col("b._len")).cast("long")
         delta = F.abs(F.col("a._len") - F.col("b._len")).cast("long")
-        dist = F.levenshtein(F.col("a._text"), F.col("b._text"), dist_cap).cast("long")
+        # per-PAIR DP bound: a kept pair needs dist ≤ max_len div inv, which
+        # is ≤ dist_cap but much tighter for short pairs — the banded DP
+        # cost scales with the bound (the Column-threshold form is only
+        # exposed through the SQL function, not the Python levenshtein())
+        dist = F.expr(
+            f"levenshtein(a._text, b._text, greatest(a._len, b._len) div {inv})"
+        ).cast("long")
         return joined.filter(delta * inv <= max_len).select(
             F.least("a._id", "b._id").alias("id_a"),
             F.greatest("a._id", "b._id").alias("id_b"),

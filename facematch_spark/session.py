@@ -67,6 +67,21 @@ def get_spark(
         # executor memory must bound anyway.
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        # Long multi-query sessions age without these: ContextCleaner frees
+        # shuffle files / broadcast blocks only when the JVM happens to GC
+        # (the references are weak), and the default periodic System.gc()
+        # interval is 30 min — longer than a whole bench suite, so with a
+        # 16 GB heap that never fills, shuffle data (here on tmpfs = RAM)
+        # and broadcasts pile up for hundreds of queries. A 1-min periodic
+        # GC drains the cleaner continuously. The SQL listener similarly
+        # retains per-execution plan graphs/metrics for 1000 executions
+        # even with the UI off — a multi-thousand-job session holds them
+        # in driver memory for nothing.
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        .config("spark.sql.ui.retainedExecutions", "32")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "5000")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1841,6 +1841,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).cast("long").alias("_sec"),
             F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
         ).withColumn("_hr", F.expr("_sec div 3600"))
+        # precondition: _sec >= 0 (fixture timestamps are all >= the
+        # 2024-01-01 epoch offset above). Spark `div` truncates toward zero
+        # while the DuckDB oracle's `//` floors — they agree only on
+        # nonnegative operands, so a fixture with pre-2024 events would
+        # need floor() on both sides (cf. the same note in kmeans.py).
         s = ev.groupBy("event_type").agg(
             F.count("*").alias("n"),
             F.sum("_hr").alias("sx"),

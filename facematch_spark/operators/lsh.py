@@ -163,8 +163,12 @@ def tiered_self_join(
         hot_cond = hot_cond & (F.col("g") <= drop_above)
     hot = sized.filter(hot_cond).drop("g")
 
+    # shuffled-hash (guide §3.1): both sides arrive already hash-partitioned
+    # by ``keys`` from the window count's exchange, so the hint only swaps
+    # the per-partition sort-merge for a hash build — no sort of the band
+    # relation on either side.
     a = normal.alias("a")
-    b = normal.alias("b")
+    b = normal.alias("b").hint("shuffle_hash")
     on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
     normal_pairs = a.join(
         b, on=[*on, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]

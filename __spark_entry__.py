@@ -40,7 +40,21 @@ FIXED_N = 30
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Session-scoped LAZY-READER cache: ``spark.read.parquet`` lists the
+    # path and reads the footer schema on every call (~80 ms here), and a
+    # full bench issues ~100 of them for the same handful of tables.
+    # Cached is the unmaterialized DataFrame (a plan + resolved schema) —
+    # NOT data, NOT results: every action still scans the parquet input.
+    # Keyed on the session object so a new/restarted session never sees a
+    # stale relation.
+    cache = getattr(spark, "_fm_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._fm_table_cache = cache
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return cache[key]
 
 
 def _ann_recall_report(

@@ -26,6 +26,12 @@ from facematch_spark.operators import lsh as L
 from facematch_spark.operators import signatures as SIG
 from facematch_spark.telemetry import mark, start
 
+# Shingle-relation size under which the exact-Jaccard verify tier broadcasts
+# the per-doc sorted hash arrays (one flat int64 buffer, ≈ 40 MB at the
+# gate) instead of joining them through the shuffle. Module-level so tests
+# can force the fallback tier.
+BROADCAST_SHINGLE_LIMIT = 5_000_000
+
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact-dup groups: md5(text) key + group size + min doc_id as group
@@ -237,16 +243,16 @@ def _verify_exact_jaccard(
         shingle relation is small enough (≤ 5M rows ≈ 40 MB of array
         payload — candidates never shuffle at all), shuffled-hash past the
         gate (same results, the arrays ride the exchange);
-      * ``jaccard = |A∩B| / (n_a + n_b − |A∩B|)`` as one codegen
-        ``array_intersect``/``size`` expression — integer-ratio doubles,
-        bit-identical to the NumPy ``intersect1d`` form it replaces.
+      * ``jaccard = |A∩B| / (n_a + n_b − |A∩B|)`` — integer-ratio doubles,
+        identical values in both tiers (a JVM ``array_intersect`` form was
+        tried and rejected: its per-row hash-set build is ~5× slower than
+        the searchsorted kernel at this candidate volume).
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    BROADCAST_SHINGLE_LIMIT = 5_000_000
     n_shingle_rows = sh.count()
 
     def _merge_intersect(flat: np.ndarray, sa: int, ea: int, sb: int, eb: int) -> float:

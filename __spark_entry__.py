@@ -2069,7 +2069,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frames.groupBy("media_id").agg(F.count("*").cast("long").alias("n_frames"))
     q["multimodal_frames"] = multimodal_frames
 
-    return q
+    # Registration-order rotation (VERDICT r05 next-round item 1): the
+    # driver's correctness gate hashes the FIRST 50 registered entries, and
+    # rounds 1-5 always registered the same core block first, so the 56
+    # entries added later have never had a driver-side correctness row (all
+    # are green under the local gate replica, tools/check_oracle.py). Rotate
+    # the never-driver-verified entries to the front of the dict — 46 of
+    # them plus 4 flagship canaries fill the 50-slot window — so this
+    # round's CORRECTNESS artifact attests the other half of the contract.
+    # Order only: the name→builder mapping, every plan, and every oracle SQL
+    # string are unchanged. streaming_merge_apply stays out of the window
+    # (its foreachBatch loop is wall-clock bounded — COVERAGE.md tracks it).
+    _window = [
+        # 4 canaries: driver-green in r04+r05, the flagship dedup dataflow
+        "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_jaccard",
+        "report_top_edges",
+        # 46 never-driver-verified entries (registration sessions 7-15)
+        "dedup_embedding_cosine", "dedup_representatives",
+        "q_sample_stratified", "q5_region_volume", "dedup_cluster_stats",
+        "streaming_enrich_counts", "text_line_dedup", "q_corpus_shuffle",
+        "q_partition_prune", "q_funnel", "q_sample_weighted",
+        "q_cooccurrence", "q_zorder_layout", "q_quantile_bins",
+        "q4_order_priority", "q_gapfill_hours", "dedup_snm",
+        "dedup_edit_distance", "q_triangle_count", "q_pagerank",
+        "q_retention_cohorts", "q_markov_transitions", "q_skyline",
+        "q_expectations", "q_incremental_agg", "q_except_all",
+        "q_intersect_all", "q17_small_qty_revenue", "q13_order_count_dist",
+        "q_sketch_merge", "q_pareto_revenue", "q_anomaly_mad",
+        "q_merge_join_stats", "q_regression_slope", "q_link_prediction",
+        "q_gini_diversity", "q_kmeans", "q_sample_fixed_n",
+        "q_curation_split", "q_hot_keys", "q_histogram", "q_salted_join",
+        "dedup_decontaminate", "curation_pipeline", "multimodal_meta",
+        "multimodal_frames",
+    ]
+    assert len(_window) == 50 and set(_window) <= set(q)
+    return {**{k: q[k] for k in _window}, **{k: v for k, v in q.items() if k not in _window}}
 
 
 # ---------------------------------------------------------------------------

@@ -372,5 +372,25 @@ def streaming_merge_apply(
     deadline = _time.time() + 300
     while q.isActive and _time.time() < deadline:
         _time.sleep(0.2)
+    if q.isActive:
+        # ADVICE r5: returning the snapshot here would silently yield a
+        # partially-applied state. Stop the stream and fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            "streaming_merge_apply: availableNow stream still active after "
+            "300 s deadline — state is partially applied"
+        )
     q.awaitTermination(5)
+    # ADVICE r5: the three mkdtemp dirs leaked on every invocation. The
+    # staged waves and the stream checkpoint are dead once the stream has
+    # terminated; the state dir must outlive this call (the returned
+    # DataFrame reads it lazily), so defer it to interpreter exit.
+    import atexit
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    atexit.register(
+        shutil.rmtree, os.path.dirname(state_dir), ignore_errors=True
+    )
     return spark.read.parquet(state_dir)

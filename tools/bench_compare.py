@@ -28,6 +28,21 @@ def load_ref(path: str) -> tuple[dict[str, float], dict | None]:
     if path.endswith(".json"):
         d = json.load(open(path))
         if "queries" not in d and "parsed" in d:  # driver BENCH_rN wrapper
+            if d["parsed"] is None:
+                # r05 lesson: the driver's tail capture can clip the bench
+                # line, leaving parsed=null. Salvage per-query walls from the
+                # tail fragment instead of crashing (the fragment is valid
+                # JSON suffix text: regex out "name": seconds pairs).
+                frag = d.get("tail", "") or ""
+                qs = {
+                    k: float(v)
+                    for k, v in re.findall(r'"([a-z0-9_]+)": ([\d.]+)', frag)
+                }
+                if not qs:
+                    raise SystemExit(
+                        f"{path}: parsed=null and no per-query rows in tail"
+                    )
+                return qs, None
             d = d["parsed"]
         return {k: float(v) for k, v in d["queries"].items()}, d.get("cpu_health")
     md = open(path).read()
@@ -55,6 +70,12 @@ def main() -> int:
         flag = ""
         if ratio > 3 * max(med, 1.0):
             flag = "  <-- OUTLIER (structural, not weather)"
+            outliers.append(q)
+        elif ratio < min(med, 1.0) / 3:
+            # ADVICE r5: an abnormally FAST row can be a silent correctness
+            # regression (empty/truncated result), not just a win — flag it
+            # for a correctness re-check rather than letting it pass.
+            flag = "  <-- LOW OUTLIER (re-check correctness)"
             outliers.append(q)
         print(f"{ratio:6.2f}x  {q:32s} {a:9.3f} vs {b:9.3f}{flag}")
     for name, h in (("new", new_health), ("ref", ref_health)):

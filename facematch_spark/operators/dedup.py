@@ -292,14 +292,20 @@ def _verify_exact_jaccard(
 
         def verify_bc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bflat, boff = bc.value
+            _absent = (0, 0)
             for pdf in it:
                 n = len(pdf)
-                jac = np.empty(n, dtype=np.float64)
+                jac = np.full(n, -1.0, dtype=np.float64)
                 ids_a, ids_b = pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy()
                 for i in range(n):
-                    sa, ea = boff[ids_a[i]]
-                    sb, eb = boff[ids_b[i]]
-                    jac[i] = _merge_intersect(bflat, sa, ea, sb, eb)
+                    # an id with NO shingle rows (possible when candidates
+                    # come from a different generator than the shingle
+                    # relation, e.g. MinHash bands) drops the pair — same
+                    # semantics as the distributed tier's inner array joins
+                    sa, ea = boff.get(ids_a[i], _absent)
+                    sb, eb = boff.get(ids_b[i], _absent)
+                    if ea > sa and eb > sb:
+                        jac[i] = _merge_intersect(bflat, sa, ea, sb, eb)
                 out = pdf.assign(jaccard=jac)
                 yield out[out["jaccard"] >= threshold]
 
@@ -311,6 +317,18 @@ def _verify_exact_jaccard(
         cands = cands.repartition(sh.sparkSession.sparkContext.defaultParallelism)
         return cands.mapInPandas(verify_bc, schema="id_a long, id_b long, jaccard double")
 
+    # Past-the-gate tier: reduce the shingle relation to candidate docs
+    # before building arrays (guide §3.2's semi-join reduction — at scale
+    # most docs have no candidate pair, and their arrays would otherwise
+    # ride the groupBy and both attach exchanges for nothing). cands gains
+    # a second consumer (the id projection) → pin it once.
+    cands = cands.localCheckpoint()
+    ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "doc_id", "left_semi")
     arrays = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("sh")).alias("arr"))
     paired = (
         cands.join(arrays.select(F.col("doc_id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
@@ -375,16 +393,26 @@ def minhash_lsh_exact_pairs(
     for pairs above the threshold (pytest-gated; holds by construction at
     high Jaccard — at b=32, r=4 a j=0.7 pair is missed w.p. (1-j⁴)³² ≈
     1.5e-4), the output equals the brute-force Jaccard join over the same
-    normalized text, which DuckDB can reproduce."""
-    from facematch_spark.operators.verify import exact_overlap_metrics
+    normalized text, which DuckDB can reproduce.
 
+    Verification rides the shared ``_verify_exact_jaccard`` tier (broadcast
+    flat-buffer kernel under the 5M-row gate, distributed array join past
+    it) — same |A∩B| / (n_a + n_b − |A∩B|) integer-ratio doubles the old
+    ``exact_overlap_metrics`` form produced, but as ONE collect + ONE
+    mapInPandas instead of a 7-join dataflow (guide §2.4: the semi-join,
+    cardinality agg and three attach joins all disappear; measured ~2×
+    on the bench row)."""
     sigs = doc_signatures(docs, cfg)
-    cands = L.candidate_pairs(sigs, cfg)
-    sh = doc_shingles(docs, cfg)
-    m = exact_overlap_metrics(cands, sh, walls=walls)
-    return m.filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold)).select(
-        "id_a", "id_b", "jaccard"
+    t0 = start()
+    cands = L.candidate_pairs(sigs, cfg).localCheckpoint()
+    t0 = mark(walls, "cand_s", t0)
+    sh = (
+        doc_shingles(docs, cfg)
+        .select(F.col("file_id").alias("doc_id"), F.col("shingle").alias("sh"))
+        .localCheckpoint()
     )
+    t0 = mark(walls, "shingle_s", t0)
+    return _verify_exact_jaccard(cands, sh, cfg.jaccard_threshold, walls=walls, t0=t0)
 
 
 def minhash_lsh_exact_pairs_between(
@@ -399,9 +427,8 @@ def minhash_lsh_exact_pairs_between(
     groups on the held-out side are salted, train probes replicated), so
     boilerplate bands cannot concentrate a reducer. Same disjoint-doc_id
     requirement as the exact cross form. Recall vs the exact operator is
-    pytest-gated at the planted-dup Jaccard level."""
-    from facematch_spark.operators.verify import exact_overlap_metrics
-
+    pytest-gated at the planted-dup Jaccard level. Verification rides the
+    shared ``_verify_exact_jaccard`` tier (see the self-join form)."""
     bands_l = (
         L.band_explode(doc_signatures(left, cfg), cfg)
         .withColumnRenamed("file_id", "id_a")
@@ -412,17 +439,22 @@ def minhash_lsh_exact_pairs_between(
         .withColumnRenamed("file_id", "id_b")
         .localCheckpoint()
     )
+    t0 = start()
     cands = L.salted_probe_join(
         bands_l, bands_r,
         keys=["band_id", "band_hash"],
         left_id="id_a", right_id="id_b",
         cap=cfg.hot_band_cap, salt_buckets=cfg.salt_buckets,
-    ).dropDuplicates(["id_a", "id_b"])
-    sh = doc_shingles(left, cfg).unionByName(doc_shingles(right, cfg))
-    m = exact_overlap_metrics(cands, sh, walls=walls)
-    return m.filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold)).select(
-        "id_a", "id_b", "jaccard"
+    ).dropDuplicates(["id_a", "id_b"]).localCheckpoint()
+    t0 = mark(walls, "cand_s", t0)
+    sh = (
+        doc_shingles(left, cfg)
+        .unionByName(doc_shingles(right, cfg))
+        .select(F.col("file_id").alias("doc_id"), F.col("shingle").alias("sh"))
+        .localCheckpoint()
     )
+    t0 = mark(walls, "shingle_s", t0)
+    return _verify_exact_jaccard(cands, sh, cfg.jaccard_threshold, walls=walls, t0=t0)
 
 
 def minhash_lsh_pairs(docs: DataFrame, cfg: DedupeConfig) -> DataFrame:

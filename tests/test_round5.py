@@ -90,7 +90,9 @@ def test_operator_stage_walls(spark, tiny_df):
 
     st2: dict[str, float] = {}
     minhash_lsh_exact_pairs(docs, DedupeConfig(jaccard_threshold=0.5), walls=st2).count()
-    assert {"cand_s", "shingle_semi_s"} <= set(st2)
+    # r6: verification rides the shared exact-Jaccard tier — the semi-join
+    # stage is gone; the shingle pin and broadcast collect are marked instead
+    assert {"cand_s", "shingle_s"} <= set(st2)
 
     st3: dict[str, float] = {}
     simhash_md5_pairs(docs, k=9, hamming_max=8, walls=st3).count()

@@ -38,15 +38,26 @@ from facematch_spark.telemetry import mark, start
 # scale-correct plan.
 ATTACH_BROADCAST_IDS_MAX = 2_000_000
 
+# Candidate volume under which the semi-reduced SIGNATURE relation itself is
+# broadcast into both metric joins (not just the id set): ≤ 25k pairs →
+# ≤ 50k signature rows × ~1.1 KB of minhash array ≈ 55 MB — the same order
+# as the session's 64 MB autoBroadcastJoinThreshold. Past it the relation's
+# array payload outgrows a broadcast and the shuffled-hash joins below are
+# the scale-correct plan.
+ATTACH_BROADCAST_SIGS_MAX_PAIRS = 25_000
+
 
 def attach_signature_metrics(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     """(id_a, id_b) + signatures → + minhash_est + hamming. JVM-only.
 
-    Both joins are hinted SHUFFLE_HASH: the joined rows carry the num_perm-
-    long minhash arrays (~1 KB/row), and a sort-merge join would SORT the
-    candidate side with those arrays attached — a multi-GB spill at 10M+
-    candidates. Hash join builds on the (much smaller) signature relation
-    and streams the candidates through unsorted.
+    Join strategy is size-tiered: BROADCAST of the semi-reduced signature
+    relation when the candidate set is small enough to bound it (see
+    ``ATTACH_BROADCAST_SIGS_MAX_PAIRS``), SHUFFLE_HASH past the gate — the
+    joined rows carry the num_perm-long minhash arrays (~1 KB/row), and a
+    sort-merge join would SORT the candidate side with those arrays
+    attached — a multi-GB spill at 10M+ candidates. Hash join builds on
+    the (much smaller) signature relation and streams the candidates
+    through unsorted.
 
     The signature relation is the heaviest thing this operator moves (~1 KB
     of minhash per row, shuffled TWICE — once per pair side). When the
@@ -58,16 +69,27 @@ def attach_signature_metrics(pairs: DataFrame, signatures: DataFrame) -> DataFra
     and both metric joins; callers that already materialized it pay one
     cheap re-checkpoint of a KB-scale pair relation."""
     pairs = pairs.localCheckpoint()
+    n_pairs = pairs.count()
     sig = signatures.select("file_id", "minhash", "simhash")
-    if pairs.count() <= ATTACH_BROADCAST_IDS_MAX:
+    if n_pairs <= ATTACH_BROADCAST_IDS_MAX:
         ids = (
             pairs.select(F.col("id_a").alias("file_id"))
             .union(pairs.select(F.col("id_b").alias("file_id")))
             .distinct()
         )
         sig = sig.join(F.broadcast(ids), "file_id", "left_semi")
-    a = sig.alias("sa").hint("shuffle_hash")
-    b = sig.alias("sb").hint("shuffle_hash")
+    if n_pairs <= ATTACH_BROADCAST_SIGS_MAX_PAIRS:
+        # The semi-reduced signature relation has ≤ 2·n_pairs rows; under
+        # this (much lower) gate it fits a broadcast outright, so BOTH
+        # metric joins run map-side and the candidate relation never
+        # crosses an exchange at all (guide §3.1; measured ~25% off the
+        # headline dedupe_e2e wall at sf0.1). The gates are ordered: the
+        # semi reduction above is what makes this relation enumerable.
+        a = F.broadcast(sig.alias("sa"))
+        b = F.broadcast(sig.alias("sb"))
+    else:
+        a = sig.alias("sa").hint("shuffle_hash")
+        b = sig.alias("sb").hint("shuffle_hash")
     joined = (
         pairs.join(a, pairs.id_a == F.col("sa.file_id"))
         .join(b, pairs.id_b == F.col("sb.file_id"))

@@ -32,6 +32,16 @@ from facematch_spark.telemetry import mark, start
 # can force the fallback tier.
 BROADCAST_SHINGLE_LIMIT = 5_000_000
 
+# Rows per partition for the PPJoin prefix self-join's shuffled-hash build:
+# a prefix row is 4 longs but its LongToUnsafeRowMap entry is ~100-300 B
+# with map overhead, and every core builds one relation CONCURRENTLY, so
+# the bound must hold cores × build inside the execution pool: 250k rows ≈
+# 25-75 MB per build (32 concurrent ≈ 1-2 GB in flight). 1M rows/partition
+# measured OOM at a 60M-row relation on a 16 GB heap (scale_fallback_probe
+# run D); 250k completes. At bench scale parts == defaultParallelism either
+# way, so the local plan is unchanged.
+PREFIX_ROWS_PER_PARTITION = 250_000
+
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact-dup groups: md5(text) key + group size + min doc_id as group
@@ -205,7 +215,22 @@ def ngram_jaccard_pairs(
     # side of the prefix relation — a driver collect + per-query hash-table
     # build that measured 2× slower than hashing per partition, and a
     # non-starter once the prefix relation outgrows the broadcast cap.
-    a, b = prefix.alias("a"), prefix.alias("b").hint("shuffle_hash")
+    # Partition count is SIZE-DERIVED, not the session constant: shuffled-
+    # hash builds a per-partition hash relation and (unlike sort-merge)
+    # cannot spill the build — at cores-count partitions a 60M-row prefix
+    # relation OOMs the build (caught by tools/scale_fallback_probe.py run
+    # D: "Can't acquire ... bytes to build hash relation"). Bounding rows
+    # per partition keeps the build ~tens of MB at ANY corpus size; the
+    # explicit repartitions are absorbed by the join (same key, same
+    # count → no extra exchange), and at bench scale parts ==
+    # defaultParallelism so the local plan is unchanged.
+    n_prefix = prefix.count()
+    parts = max(
+        prefix.sparkSession.sparkContext.defaultParallelism,
+        int(n_prefix // PREFIX_ROWS_PER_PARTITION) + 1,
+    )
+    a = prefix.repartition(parts, "sh").alias("a")
+    b = prefix.repartition(parts, "sh").alias("b").hint("shuffle_hash")
     alpha = F.ceil(
         F.lit(threshold) / (1 + threshold) * (F.col("a.n_sh") + F.col("b.n_sh"))
     )
@@ -445,6 +470,7 @@ def minhash_lsh_exact_pairs_between(
         keys=["band_id", "band_hash"],
         left_id="id_a", right_id="id_b",
         cap=cfg.hot_band_cap, salt_buckets=cfg.salt_buckets,
+        n_build=bands_r.count(),  # pinned: block-manager scan
     ).dropDuplicates(["id_a", "id_b"]).localCheckpoint()
     t0 = mark(walls, "cand_s", t0)
     sh = (
@@ -555,6 +581,12 @@ def _pigeonhole_hamming_pairs(
     fps = fps.localCheckpoint()  # feeds chunk explode + two verify joins
     t0 = mark(walls, "fingerprint_s", t0)
     chunks = pigeonhole_chunk_keys(fps, hamming_max, total_bits, n_chunks)
+    # chunk-row count is analytic: n_fps × C(c, m) combination keys per
+    # fingerprint (fps is pinned, so the count is a block-manager scan)
+    from math import comb
+
+    bounds = simhash_chunk_bounds(hamming_max, total_bits, n_chunks)
+    n_chunk_rows = fps.count() * comb(len(bounds), len(bounds) - hamming_max)
     cands = tiered_self_join(
         chunks,
         keys=["chunk_id", "chunk"],
@@ -562,6 +594,7 @@ def _pigeonhole_hamming_pairs(
         cap=hot_cap,
         salt_buckets=salt_buckets,
         drop_above=None,  # lossless: recall=1.0 within the Hamming radius
+        n_rows=n_chunk_rows,
     )
     fa = fps.select(F.col("file_id").alias("id_a"), F.col("fp").alias("fp_a"))
     fb = fps.select(F.col("file_id").alias("id_b"), F.col("fp").alias("fp_b"))

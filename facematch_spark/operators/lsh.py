@@ -38,6 +38,16 @@ from pyspark.sql import functions as F
 from facematch_spark.config import DedupeConfig
 from facematch_spark.functions import hashing as H
 
+# Rows per partition for the tiered/probe joins' key exchanges when the
+# caller supplies the build relation's row count: 500k narrow (key, id) rows
+# ≈ 50 MB of hashed-relation footprint per build — ~1.6 GB in flight with 32
+# concurrent tasks, bounded at any corpus size. The un-spillable shuffled-
+# hash build is the constraint (guide §3.1); the explicit partition count
+# also stops AQE's byte-based coalescing from merging build partitions past
+# the memory bound (observed at 1M vectors: 96 MB build exchange coalesced
+# to ~2 partitions → build OOM).
+TIER_ROWS_PER_PARTITION = 500_000
+
 
 def band_explode(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """signatures → (file_id, band_id, band_hash), one row per band.
@@ -116,6 +126,7 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupeConfig) -> DataFrame:
         cap=cfg.hot_band_cap,
         salt_buckets=cfg.salt_buckets,
         drop_above=cfg.max_band_group,
+        n_rows=bands_df.count(),  # pinned: the count is a block-manager scan
     )
 
 
@@ -126,6 +137,7 @@ def tiered_self_join(
     cap: int,
     salt_buckets: int,
     drop_above: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Size-tiered self equi-join on ``keys`` → distinct canonical pairs
     ``(id_a, id_b)`` with ``id_a < id_b``. The shared skew machinery for
@@ -152,9 +164,23 @@ def tiered_self_join(
     then again for the size join — two extra full passes of the widest
     relation in the job through shuffle storage. Semantics are identical
     (``count(*) over (partition by keys)`` ≡ joined groupBy count).
+
+    ``n_rows`` (optional; callers holding a pinned relation pass its count)
+    SIZE-DERIVES the key exchange's partition count instead of taking the
+    session constant: the normal tier's shuffled-hash build cannot spill
+    (guide §3.1 risk — the analogous PPJoin prefix build OOM'd at 60M rows
+    on cores-count partitions, caught by tools/scale_fallback_probe.py),
+    so rows-per-partition is bounded at ``TIER_ROWS_PER_PARTITION``; the
+    window and both join sides reuse the one explicit exchange.
     """
     from pyspark.sql.window import Window
 
+    if n_rows is not None:
+        parts = max(
+            rows.sparkSession.sparkContext.defaultParallelism,
+            int(n_rows // TIER_ROWS_PER_PARTITION) + 1,
+        )
+        rows = rows.repartition(parts, *keys)
     sized = rows.withColumn("g", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
 
     normal = sized.filter((F.col("g") > 1) & (F.col("g") <= cap)).drop("g")
@@ -205,6 +231,7 @@ def salted_probe_join(
     right_id: str,
     cap: int,
     salt_buckets: int,
+    n_build: int | None = None,
 ) -> DataFrame:
     """Skew-safe ASYMMETRIC equi-join on ``keys`` → ``(left_id, right_id)``
     rows — the probe→build sibling of ``tiered_self_join`` for candidate
@@ -218,9 +245,29 @@ def salted_probe_join(
     build_sized = build.join(sizes, keys)
     probes_sized = probes.join(sizes, keys)  # inner: probes w/o build rows can't match anyway
 
+    # The candidate joins pin SHUFFLE_HASH on the build side (guide §3.1):
+    # the build⋈sizes relation is O(corpus) rows but its size ESTIMATE after
+    # the aggregate join is unreliable — at 1M vectors the auto plan chose
+    # BroadcastHashJoin over the ~1 GB relation and aborted on
+    # spark.driver.maxResultSize (tools/scale_fallback_probe.py run E).
+    # The (small, O(distinct keys)) `sizes` relation stays auto-planned:
+    # its broadcast is what lets the big probe side stream un-shuffled.
     normal_p = probes_sized.filter(F.col("g") <= cap).drop("g")
     normal_b = build_sized.filter(F.col("g") <= cap).drop("g")
-    normal = normal_p.join(normal_b, keys).select(left_id, right_id)
+    # ``n_build`` (callers holding a pinned build relation pass its count)
+    # SIZE-DERIVES the join partitioning so the un-spillable hash build
+    # stays bounded per task (same pattern as tiered_self_join / the PPJoin
+    # prefix join; the run-E failure sequence was auto-broadcast abort →
+    # hint-only SHJ build OOM → this). Explicit partition counts also stop
+    # AQE from coalescing the build exchange past the build's memory bound.
+    if n_build is not None:
+        parts = max(
+            build.sparkSession.sparkContext.defaultParallelism,
+            int(n_build // TIER_ROWS_PER_PARTITION) + 1,
+        )
+        normal_p = normal_p.repartition(parts, *keys)
+        normal_b = normal_b.repartition(parts, *keys)
+    normal = normal_p.join(normal_b.hint("shuffle_hash"), keys).select(left_id, right_id)
 
     s = salt_buckets
     hot_b = build_sized.filter(F.col("g") > cap).drop("g").withColumn(
@@ -229,7 +276,10 @@ def salted_probe_join(
     hot_p = probes_sized.filter(F.col("g") > cap).drop("g").withColumn(
         "bkt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
     )
-    hot = hot_p.join(hot_b, [*keys, "bkt"]).select(left_id, right_id)
+    if n_build is not None:
+        hot_p = hot_p.repartition(parts, *keys, "bkt")
+        hot_b = hot_b.repartition(parts, *keys, "bkt")
+    hot = hot_p.join(hot_b.hint("shuffle_hash"), [*keys, "bkt"]).select(left_id, right_id)
     return normal.unionByName(hot)
 
 

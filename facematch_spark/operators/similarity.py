@@ -235,14 +235,20 @@ def embedding_near_dup_pairs_lsh(
     # interpreted lambda per element — hoisting it off the candidate relation
     # removes 2/3 of the per-pair lambda work; the cosine divides by the
     # same two doubles, so results are bit-identical)
+    # SHUFFLE_HASH pins (guide §3.1): the candidate relation's size estimate
+    # after the dedup aggregation is unreliable, and at 1M vectors the auto
+    # plan tried to BROADCAST the (actually ~1 GB) candidate side and died
+    # on spark.driver.maxResultSize (caught by tools/scale_fallback_probe.py
+    # run E). Hash-build on the |corpus|-row vector relation instead: no
+    # driver collect, no sort of the candidate side.
     v = vectors.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm"))
     return (
         cands.join(
-            v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_nrm").alias("_na")),
+            v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_nrm").alias("_na")).hint("shuffle_hash"),
             "id_a",
         )
         .join(
-            v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_nrm").alias("_nb")),
+            v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_nrm").alias("_nb")).hint("shuffle_hash"),
             "id_b",
         )
         .withColumn(
@@ -337,7 +343,9 @@ def lsh_bucket_candidates(
     far fewer tables."""
     from facematch_spark.operators.lsh import tiered_self_join
 
-    allb = hyperplane_sketches(vectors, n_bits, n_tables, dim, seed, vec_col, id_col)
+    allb = hyperplane_sketches(
+        vectors, n_bits, n_tables, dim, seed, vec_col, id_col
+    ).localCheckpoint()
     return tiered_self_join(
         allb,
         keys=["table_id", "bucket"],
@@ -345,6 +353,7 @@ def lsh_bucket_candidates(
         cap=hot_bucket_cap,
         salt_buckets=salt_buckets,
         drop_above=None,
+        n_rows=allb.count(),  # pinned: the count is a block-manager scan
     )
 
 
@@ -550,20 +559,24 @@ def ann_topk_lsh(
             probes, home, keys=["table_id", "bucket"],
             left_id="qid", right_id="nid",
             cap=hot_bucket_cap, salt_buckets=salt_buckets,
+            n_build=sk.count(),  # pinned: block-manager scan
         )
         .filter(F.col("qid") != F.col("nid"))
         .dropDuplicates(["qid", "nid"])
     )
     # per-vector norms hoisted off the candidate relation — see
-    # embedding_near_dup_pairs_lsh (bit-identical: same doubles divided)
+    # embedding_near_dup_pairs_lsh (bit-identical: same doubles divided).
+    # SHUFFLE_HASH pins for the same reason as there: the candidate
+    # relation's post-dedup size estimate invited a ~1 GB auto-broadcast
+    # at 1M vectors (scale_fallback_probe run E).
     v = vectors.select(F.col("vec_id"), F.col("embedding"), _norm(F.col("embedding")).alias("_nrm"))
     scored = (
         cands.join(
-            v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"), F.col("_nrm").alias("_na")),
+            v.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("va"), F.col("_nrm").alias("_na")).hint("shuffle_hash"),
             "qid",
         )
         .join(
-            v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"), F.col("_nrm").alias("_nb")),
+            v.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("vb"), F.col("_nrm").alias("_nb")).hint("shuffle_hash"),
             "nid",
         )
         .withColumn(

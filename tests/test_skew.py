@@ -61,3 +61,41 @@ def test_max_band_group_drop_bounds_pairs(spark, skew_df):
     )
     missed = exact_sig_pairs.join(capped, ["id_a", "id_b"], "left_anti").count()
     assert missed == 0
+
+
+def test_size_derived_partitioning_is_lossless(spark):
+    """r6: passing n_rows/n_build derives the key-exchange partition count
+    (bounding the un-spillable shuffled-hash builds at scale — see
+    SCALE_r06.md) without changing a single output pair, and the derived
+    count lands in the physical plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    rows = spark.range(400).select(
+        (F.col("id") % 20).alias("k"), F.col("id").alias("fid")
+    )
+    base = L.tiered_self_join(rows, keys=["k"], id_col="fid", cap=50, salt_buckets=4)
+    forced = L.tiered_self_join(
+        rows, keys=["k"], id_col="fid", cap=50, salt_buckets=4, n_rows=50_000_000
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, forced.collect()))
+
+    expect = max(
+        spark.sparkContext.defaultParallelism,
+        50_000_000 // L.TIER_ROWS_PER_PARTITION + 1,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        forced.explain()
+    assert f", {expect})" in buf.getvalue()  # hashpartitioning(k, <derived>)
+
+    probes = spark.range(300).select((F.col("id") % 15).alias("k"), F.col("id").alias("q"))
+    build = spark.range(300).select((F.col("id") % 15).alias("k"), F.col("id").alias("b"))
+    p_base = L.salted_probe_join(
+        probes, build, keys=["k"], left_id="q", right_id="b", cap=10, salt_buckets=4
+    )
+    p_forced = L.salted_probe_join(
+        probes, build, keys=["k"], left_id="q", right_id="b", cap=10,
+        salt_buckets=4, n_build=50_000_000,
+    )
+    assert sorted(map(tuple, p_base.collect())) == sorted(map(tuple, p_forced.collect()))

@@ -106,9 +106,13 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # ddst (the destination's degree) rides along so wedge enumeration can
+    # order a source's two out-neighbors in the SAME (degree, id) total
+    # order without a re-join — see local_triangle_counts.
     return e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     )
 
 
@@ -116,10 +120,14 @@ def local_triangle_counts(edges: DataFrame, walls: dict | None = None) -> DataFr
     """Per-vertex triangle participation counts: (part_id, n_triangles) for
     every vertex in at least one triangle.
 
-    Wedge enumeration emits BOTH (v, w) and (w, v) for each out-pair at a
-    source; exactly one of them matches an oriented edge (orientation is a
-    total order), so each triangle closes exactly once — no /3 correction,
-    no double counting.
+    Wedge enumeration emits each out-pair ONCE, pre-ordered by the same
+    (degree, id) total order the edges are oriented by (the destination
+    degree rides the oriented relation, so ordering two out-neighbors needs
+    no re-join): if the closing edge exists it is oriented exactly
+    lo→hi, so each triangle closes exactly once — no /3 correction, no
+    double counting, and the wedge fan-out (the job's largest exchange,
+    guide §2.3) is HALF of the emit-both-orders form (measured same
+    counts, r6).
     """
     from facematch_spark import telemetry as T
 
@@ -133,15 +141,24 @@ def local_triangle_counts(edges: DataFrame, walls: dict | None = None) -> DataFr
     # wedges + closing join both consume the oriented relation → pin once.
     o = oriented_edges(edges).localCheckpoint()
     T.mark(walls, "orient_s", t0)
-    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddst").alias("db"))
+    o2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddst").alias("dc"))
     # Shuffled-hash joins, build = the oriented-edge relation (O(m) rows of
     # two longs): sort-merge would SORT the wedge fan-out (Σ outdeg² rows —
     # the largest relation in the job) before the closing join; hashing the
-    # small side streams the wedges through unsorted (guide §3.1).
-    wedges = o1.join(o2.hint("shuffle_hash"), "a").filter(F.col("b") != F.col("c"))
+    # small side streams the wedges through unsorted (guide §3.1). The
+    # (db, b) < (dc, c) predicate keeps each out-pair in closing-edge
+    # orientation only — the wedge exchange halves.
+    b_first = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))
+    )
+    wedges = (
+        o1.join(o2.hint("shuffle_hash"), "a")
+        .filter(b_first)
+        .select("a", "b", "c")
+    )
     tri = wedges.join(
-        o.hint("shuffle_hash"),
+        o.select("src", "dst").hint("shuffle_hash"),
         (F.col("b") == F.col("src")) & (F.col("c") == F.col("dst")),
     ).select("a", "b", "c")
     # ONE consumer of tri: explode the three roles inline so the wedge +
